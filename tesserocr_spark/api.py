@@ -1,0 +1,258 @@
+"""SparkPageAPI — the PyTessBaseAPI session surface over DataFrames.
+
+The reference's stateful session (tesserocr/tesserocr.pyx:1186-2662) holds
+one document, materializes a span tree with ``Recognize``, and answers every
+query through iterators over that tree. Here the session holds a *table* of
+documents; ``recognize()`` materializes the extraction column once
+(``persist`` — the multi-sink/multi-query tactic of the renderer chain,
+tesserocr/tesserocr.pyx:2186-2251, which Catalyst will not dedupe across
+actions by itself), and every iterator/getter becomes a declarative
+DataFrame query over the exploded spans view, fully Catalyst-planned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, ExtractorConfig
+from .constants import PT, RIL
+from .core.osd import AVAILABLE_LANGUAGES
+from .udf import make_extract_text_udf, make_extract_udf
+
+#: reading-order sort key of the span hierarchy (parents before children:
+#: lower levels carry -1 in child id slots).
+SPAN_ORDER = ("block_id", "para_id", "line_id", "word_id", "symbol_id", "level")
+
+
+def extract_pages(
+    pages: DataFrame,
+    config: ExtractorConfig | None = None,
+    timeout_ms_per_doc: int = 0,
+) -> DataFrame:
+    """pages -> docs: adds extracted_text, spans, osd, metrics (Recognize)."""
+    udf = make_extract_udf(config, timeout_ms_per_doc)
+    keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    return pages.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
+
+
+def extract_text_only(
+    pages: DataFrame,
+    config: ExtractorConfig | None = None,
+    timeout_ms_per_doc: int = 0,
+) -> DataFrame:
+    """pages -> (url, extracted_text): the image_to_text one-liner
+    (tesserocr/tesserocr.pyx:2683-2732)."""
+    udf = make_extract_text_udf(config, timeout_ms_per_doc)
+    return pages.select("url", udf(F.col("html")).alias("extracted_text"))
+
+
+def spans_long(docs: DataFrame) -> DataFrame:
+    """Exploded spans view: one row per span, with reading-order ``pos``
+    (iterate_level analogue, tesserocr/tesserocr.pyx:1173-1183). Spans never
+    cross documents, so ordering within url needs no global sort."""
+    return docs.select(
+        "url", F.posexplode("spans").alias("pos", "s")
+    ).select("url", "pos", "s.*")
+
+
+class SparkPageAPI:
+    """Session facade (PyTessBaseAPI analogue). Usable as a context manager
+    (reference __enter__/__exit__, tesserocr/tesserocr.pyx:2656-2662)."""
+
+    def __init__(self, spark: SparkSession, config: ExtractorConfig | None = None) -> None:
+        self.spark = spark
+        self.config = config or DEFAULT_CONFIG
+        self._pages: DataFrame | None = None
+        self._docs: DataFrame | None = None
+        self._region: tuple[int, int, int, int] | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def __enter__(self) -> "SparkPageAPI":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.end()
+
+    def set_pages(self, pages: DataFrame) -> "SparkPageAPI":
+        """SetImage analogue (tesserocr/tesserocr.pyx:1774-1801): binds the
+        input table and clears any previous results."""
+        self.clear()
+        self._pages = pages
+        return self
+
+    def set_rectangle(self, left: int, top: int, width: int, height: int) -> "SparkPageAPI":
+        """SetRectangle (tesserocr/tesserocr.pyx:1835-1847): restricts the
+        *next* recognize pass to a char-grid region; clears prior results."""
+        self.clear()
+        self._region = (left, top, width, height)
+        return self
+
+    def set_variable(self, name: str, value: str) -> "SparkPageAPI":
+        self.clear()
+        self.config = self.config.with_variable(name, value)
+        return self
+
+    def set_page_seg_mode(self, psm: int) -> "SparkPageAPI":
+        self.clear()
+        self.config = self.config.with_psm(psm)
+        return self
+
+    def get_page_seg_mode(self) -> int:
+        return self.config.psm
+
+    def recognize(self, timeout_ms_per_doc: int = 0) -> DataFrame:
+        """Materialize extraction results (Recognize,
+        tesserocr/tesserocr.pyx:2136-2163). Cached for multi-query reuse."""
+        if self._pages is None:
+            raise RuntimeError("no pages bound; call set_pages() first")
+        if self._docs is None:
+            from .udf import make_extract_udf
+
+            udf = make_extract_udf(self.config, timeout_ms_per_doc)
+            keep = [c for c in ("url", "warc_ts", "lang") if c in self._pages.columns]
+            expr = udf(F.col("html")).alias("res")
+            docs = self._pages.select(*keep, expr).select(*keep, "res.*")
+            if self._region is not None:
+                # region re-extraction: filter word spans by the rectangle in
+                # the *original* geometry is done inside the core; here we
+                # re-run the UDF with the region closed over.
+                from .core.extractor import Extractor  # noqa: F401 (documented path)
+                import pandas as pd
+                from .schemas import EXTRACT_RESULT_SCHEMA
+
+                region = self._region
+                cfg = self.config
+
+                @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+                def extract_region(html: pd.Series) -> pd.DataFrame:
+                    from .udf import _extractor_for
+
+                    ex = _extractor_for(cfg)
+                    rows = [ex.extract(h, region=region) for h in html]
+                    return pd.DataFrame({
+                        "extracted_text": [d.text for d in rows],
+                        "spans": [d.spans for d in rows],
+                        "osd": [d.osd for d in rows],
+                        "metrics": [d.metrics for d in rows],
+                    })
+
+                docs = self._pages.select(
+                    *keep, extract_region(F.col("html")).alias("res")
+                ).select(*keep, "res.*")
+            self._docs = docs.persist()
+        return self._docs
+
+    def analyse_layout(self) -> DataFrame:
+        """AnalyseLayout (tesserocr/tesserocr.pyx:2113-2134): spans with
+        geometry/ids but NULL text; cheap corpus-structure pass."""
+        from .constants import PSM
+
+        api = SparkPageAPI(self.spark, self.config.with_psm(PSM.AUTO_ONLY))
+        api._pages = self._pages
+        return spans_long(api.recognize())
+
+    def clear(self) -> None:
+        """Clear (tesserocr/tesserocr.pyx:2580-2586): drop results, keep config."""
+        if self._docs is not None:
+            self._docs.unpersist()
+            self._docs = None
+
+    def end(self) -> None:
+        """End (tesserocr/tesserocr.pyx:2588-2591)."""
+        self.clear()
+        self._pages = None
+
+    # -- document-level getters ---------------------------------------------
+
+    def get_utf8_text(self) -> DataFrame:
+        """(url, text) — GetUTF8Text per document (tesserocr/tesserocr.pyx:2379-2390)."""
+        return self.recognize().select("url", F.col("extracted_text").alias("text"))
+
+    def get_iterator(self) -> DataFrame:
+        """GetIterator (tesserocr/tesserocr.pyx:2367-2377) — the spans_long view."""
+        return spans_long(self.recognize())
+
+    def all_words(self) -> DataFrame:
+        """(url, pos, word) in reading order (AllWords, tesserocr.pyx:2528-2544)."""
+        sl = self.get_iterator().filter(
+            (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+        )
+        w = F.row_number().over(
+            _url_window().orderBy("block_id", "para_id", "line_id", "word_id")
+        ) - 1
+        return sl.select("url", w.alias("pos"), F.col("text").alias("word"))
+
+    def all_word_confidences(self) -> DataFrame:
+        """(url, pos, conf:int) — int truncation preserved
+        (AllWordConfidences, tesserocr/tesserocr.pyx:2503-2526)."""
+        sl = self.get_iterator().filter(
+            (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+        )
+        w = F.row_number().over(
+            _url_window().orderBy("block_id", "para_id", "line_id", "word_id")
+        ) - 1
+        return sl.select("url", w.alias("pos"), F.col("conf").cast("int").alias("conf"))
+
+    def map_word_confidences(self) -> DataFrame:
+        """(url, pos, word, conf) — positional zip
+        (MapWordConfidences, tesserocr/tesserocr.pyx:2546-2559)."""
+        sl = self.get_iterator().filter(
+            (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+        )
+        w = F.row_number().over(
+            _url_window().orderBy("block_id", "para_id", "line_id", "word_id")
+        ) - 1
+        return sl.select("url", w.alias("pos"), F.col("text").alias("word"),
+                         F.col("conf").cast("int").alias("conf"))
+
+    def mean_text_conf(self) -> DataFrame:
+        """(url, conf:int) (MeanTextConf, tesserocr/tesserocr.pyx:2499-2501)."""
+        sl = self.get_iterator()
+        return (
+            sl.filter((F.col("level") == RIL.WORD) & F.col("text").isNotNull())
+            .groupBy("url").agg(F.avg("conf").cast("int").alias("conf"))
+        )
+
+    # -- level projections (GetRegions/GetTextlines/GetWords/...) -----------
+
+    def get_component_images(self, level: int, text_only: bool = False) -> DataFrame:
+        """Parameterized level projection (GetComponentImages,
+        tesserocr/tesserocr.pyx:2034-2102)."""
+        sl = self.get_iterator().filter(F.col("level") == level)
+        if text_only:
+            sl = sl.filter(F.col("block_type").isin(*PT.TEXT_TYPES))
+        return sl
+
+    def get_regions(self) -> DataFrame:
+        return self.get_component_images(RIL.BLOCK)
+
+    def get_textlines(self) -> DataFrame:
+        return self.get_component_images(RIL.TEXTLINE)
+
+    def get_strips(self) -> DataFrame:
+        sl = self.get_iterator()
+        return sl.filter(
+            (F.col("level") == RIL.TEXTLINE)
+            | ((F.col("level") == RIL.BLOCK) & F.col("block_type").isin(*PT.IMAGE_TYPES))
+        )
+
+    def get_words(self) -> DataFrame:
+        return self.get_component_images(RIL.WORD)
+
+    def detect_os(self) -> DataFrame:
+        """(url, osd struct) (DetectOS, tesserocr/tesserocr.pyx:2615-2634)."""
+        return self.recognize().select("url", "osd.*")
+
+    def get_available_languages(self) -> list[str]:
+        return list(AVAILABLE_LANGUAGES)
+
+    def get_init_languages_as_string(self) -> str:
+        return self.config.lang
+
+
+def _url_window():
+    from pyspark.sql import Window
+
+    return Window.partitionBy("url")

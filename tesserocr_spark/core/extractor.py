@@ -1,0 +1,456 @@
+"""The extraction engine core — everything the reference does inside
+``Recognize`` (tesserocr/tesserocr.pyx:2136-2163), re-expressed for HTML.
+
+Pure Python, Spark-free, one document per call: the vectorized pandas UDF
+(``tesserocr_spark.udf``) batches this over Arrow chunks; the pytest fixture
+generator calls it directly. Keeping a single implementation is what makes
+the byte-identity gate (BASELINE.json ``north_rule``) meaningful.
+
+Frozen output laws (shared with fold.py, FIXTURES.md §2):
+
+* words joined by ``blanks`` spaces — 0 at line start, 1 otherwise
+  (BlanksBeforeWord, tesserocr/tesserocr.pyx:965-968);
+* line separator ``"\\n"``; paragraph separator an additional ``"\\n"``
+  (GetUTF8Text separators, tesserocr/tesserocr.pyx:862-870) — i.e. paragraphs
+  are separated by a blank line and the document ends with one ``"\\n"``;
+* span ids are reading-order, within-parent, content-derived — never
+  dependent on partition layout;
+* bbox is char-grid geometry: ``y`` = global line index in reading order,
+  ``x`` = column within the line; parents are exact envelopes of children;
+* word confidence is the frozen deterministic formula
+  ``conf = 95.0 - ((3 * len(word)) % 11)`` (a stand-in for OCR confidence
+  that is reproducible in ANSI SQL for the DuckDB oracle); higher levels
+  average their words; ``MeanTextConf`` truncates to int
+  (tesserocr/tesserocr.pyx:2499-2501).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from ..config import DEFAULT_CONFIG, ExtractorConfig
+from ..constants import PSM, PT, RIL
+from .osd import detect_os
+from .segment import Block, group_blocks, parse_paragraphs
+
+_NUMERIC_RE = re.compile(r"^[0-9][0-9.,:%/-]*$")
+
+#: span flag bits
+FLAG_SUPERSCRIPT = 1
+FLAG_SUBSCRIPT = 2
+FLAG_NUMERIC = 4
+FLAG_RTL = 8
+FLAG_BOILERPLATE = 32
+
+
+def word_conf(word: str) -> float:
+    """Frozen per-word pseudo-confidence; SQL mirror:
+    ``95.0 - ((3 * length(word)) % 11)``."""
+    return 95.0 - ((3 * len(word)) % 11)
+
+
+def word_flags(word: str, base: int) -> int:
+    fl = base
+    if _NUMERIC_RE.match(word):
+        fl |= FLAG_NUMERIC
+    ch = word[0]
+    if unicodedata.bidirectional(ch) in ("R", "AL"):
+        fl |= FLAG_RTL
+    return fl
+
+
+class ExtractedDoc:
+    """Result of extracting one document (the PAGE_RES analogue)."""
+
+    __slots__ = ("text", "spans", "osd", "metrics")
+
+    def __init__(self, text: str, spans: list[dict], osd: dict, metrics: dict) -> None:
+        self.text = text
+        self.spans = spans
+        self.osd = osd
+        self.metrics = metrics
+
+
+def _bbox(x0: int, y0: int, x1: int, y1: int) -> dict:
+    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
+
+
+class Extractor:
+    """One configured extraction engine (PyTessBaseAPI analogue,
+    tesserocr/tesserocr.pyx:1186-2662). Stateless across documents — safe to
+    share as a per-worker singleton inside the UDF (the instance-reuse tactic,
+    reference README.rst:137-152)."""
+
+    def __init__(self, config: ExtractorConfig | None = None) -> None:
+        self.config = config or DEFAULT_CONFIG
+        c = self.config
+        self._max_link_density = c.get_double_variable("max_link_density")
+        self._emit_symbols = c.get_bool_variable("emit_symbols")
+        self._max_html_bytes = c.get_int_variable("max_html_bytes")
+        self._blacklist = set(c.get_variable("tessedit_char_blacklist"))
+        self._whitelist = set(c.get_variable("tessedit_char_whitelist"))
+
+    # -- public API -----------------------------------------------------------
+
+    def extract(
+        self,
+        html: bytes | str | None,
+        region: tuple[int, int, int, int] | None = None,
+    ) -> ExtractedDoc:
+        """Segment + recognize one document (Recognize analogue).
+
+        ``region=(left, top, width, height)`` restricts output to spans whose
+        word boxes fall inside the char-grid rectangle (SetRectangle,
+        tesserocr/tesserocr.pyx:1835-1847).
+        """
+        psm = self.config.psm
+        text_in, truncated, html_bytes = self._decode(html)
+        paragraphs = parse_paragraphs(text_in) if text_in else []
+        blocks = group_blocks(paragraphs, self._max_link_density)
+        blocks = self._apply_psm(blocks, psm)
+
+        if psm == PSM.OSD_ONLY:
+            osd = detect_os(_all_text(blocks), self.config.lang)
+            return ExtractedDoc("", [], osd, self._metrics(html_bytes, [], truncated))
+
+        layout_only = psm == PSM.AUTO_ONLY
+        spans, doc_text = self._emit(blocks, layout_only, region)
+        osd = detect_os(doc_text if not layout_only else _all_text(blocks), self.config.lang)
+        return ExtractedDoc(doc_text, spans, osd, self._metrics(html_bytes, spans, truncated))
+
+    def extract_text(self, html: bytes | str | None) -> str:
+        """Text-only fast path (the ``image_to_text`` one-shot helper,
+        tesserocr/tesserocr.pyx:2683-2732): identical output to
+        ``extract(...).text`` but skips span materialization entirely."""
+        psm = self.config.psm
+        if psm == PSM.OSD_ONLY:
+            return ""
+        text_in, _truncated, _n = self._decode(html)
+        paragraphs = parse_paragraphs(text_in) if text_in else []
+        blocks = group_blocks(paragraphs, self._max_link_density)
+        blocks = self._apply_psm(blocks, psm)
+        blocks = self._resolve(blocks)
+        if psm == PSM.AUTO_ONLY:
+            return ""
+        para_renders: list[str] = []
+        for blk in blocks:
+            if blk.is_image:
+                continue
+            for para in blk.paras:
+                lines = [" ".join(w for w, _fl, _cfl in line) for line in para if line]
+                if lines:
+                    para_renders.append("\n".join(lines) + "\n")
+        return "\n".join(para_renders)
+
+    # -- internals --------------------------------------------------------------
+
+    def _decode(self, html: bytes | str | None) -> tuple[str, bool, int]:
+        if html is None:
+            return "", False, 0
+        if isinstance(html, str):
+            raw = html.encode("utf-8", "replace")
+        else:
+            raw = bytes(html)
+        n = len(raw)
+        truncated = n > self._max_html_bytes
+        if truncated:
+            raw = raw[: self._max_html_bytes]
+        return raw.decode("utf-8", "replace"), truncated, n
+
+    def _apply_psm(self, blocks: list[Block], psm: int) -> list[Block]:
+        if psm in (PSM.AUTO, PSM.AUTO_OSD, PSM.AUTO_ONLY):
+            return [b for b in blocks if not b.boiler]
+        if psm == PSM.SINGLE_COLUMN:
+            return blocks
+        if psm in (PSM.SINGLE_BLOCK, PSM.SINGLE_BLOCK_VERT_TEXT):
+            merged = Block(PT.FLOWING_TEXT, False, False)
+            for b in blocks:
+                if not b.is_image:
+                    merged.paras.extend(b.paras)
+            return [merged] if merged.paras else []
+        if psm in (PSM.SINGLE_LINE, PSM.RAW_LINE):
+            words = [item for b in blocks if not b.is_image
+                     for para in b.paras for line in para for item in line]
+            if not words:
+                return []
+            blk = Block(PT.FLOWING_TEXT, False, False)
+            blk.paras = [[words]]
+            return [blk]
+        if psm in (PSM.SINGLE_WORD, PSM.CIRCLE_WORD, PSM.SINGLE_CHAR):
+            for b in blocks:
+                if b.is_image:
+                    continue
+                for para in b.paras:
+                    for line in para:
+                        if line:
+                            w, fl, cfl = line[0]
+                            if psm == PSM.SINGLE_CHAR:
+                                w, cfl = w[0], cfl[:1]
+                            blk = Block(PT.FLOWING_TEXT, False, False)
+                            blk.paras = [[[(w, fl, cfl)]]]
+                            return [blk]
+            return []
+        if psm in (PSM.SPARSE_TEXT, PSM.SPARSE_TEXT_OSD):
+            out: list[Block] = []
+            for b in blocks:
+                if b.is_image:
+                    out.append(b)
+                    continue
+                for para in b.paras:
+                    nb = Block(PT.UNKNOWN, b.boiler, False)
+                    nb.paras = [para]
+                    out.append(nb)
+            return out
+        return [b for b in blocks if not b.boiler]  # OSD_ONLY handled by caller
+
+    def _filter_word_chars(self, word: str, cfl: tuple) -> tuple[str, tuple]:
+        if not self._blacklist and not self._whitelist:
+            return word, cfl
+        chars = []
+        flags = []
+        for c, f in zip(word, cfl):
+            if self._blacklist and c in self._blacklist:
+                continue
+            if self._whitelist and c not in self._whitelist:
+                continue
+            chars.append(c)
+            flags.append(f)
+        return "".join(chars), tuple(flags)
+
+    def _resolve(self, blocks: list[Block]) -> list[Block]:
+        """Apply char blacklist/whitelist + min-length filtering to words.
+
+        Words emptied by filtering are dropped silently (the AllWords
+        contract, tesserocr/tesserocr.pyx:2537-2542); lines/paras/blocks
+        emptied by that are dropped too.
+        """
+        min_chars = self.config.get_int_variable("min_text_chars")
+        if not self._blacklist and not self._whitelist and min_chars <= 1:
+            return blocks
+        out: list[Block] = []
+        for blk in blocks:
+            if blk.is_image:
+                out.append(blk)
+                continue
+            nb = Block(blk.block_type, blk.boiler, False)
+            for para in blk.paras:
+                np_ = []
+                for line in para:
+                    nl = []
+                    for w, fl, cfl in line:
+                        w2, cfl2 = self._filter_word_chars(w, cfl)
+                        if w2 and len(w2) >= min_chars:
+                            nl.append((w2, fl, cfl2))
+                    if nl:
+                        np_.append(nl)
+                if np_:
+                    nb.paras.append(np_)
+            if nb.paras:
+                out.append(nb)
+        return out
+
+    def _rect_filter(
+        self, blocks: list[Block], region: tuple[int, int, int, int]
+    ) -> list[Block]:
+        """SetRectangle analogue (tesserocr/tesserocr.pyx:1835-1847): keep only
+        words whose char-grid box (in the *unrestricted* document geometry)
+        falls inside ``region=(left, top, width, height)``; ids and geometry of
+        the surviving spans are then recomputed by the normal emission pass,
+        exactly as the reference re-recognizes within the rectangle."""
+        left, top, width, height = region
+        rx0, ry0, rx1, ry1 = left, top, left + width, top + height
+        out: list[Block] = []
+        y = 0
+        for blk in blocks:
+            if blk.is_image:
+                y += 1  # image block consumes one grid row; excluded from rect output
+                continue
+            nb = Block(blk.block_type, blk.boiler, False)
+            for para in blk.paras:
+                np_ = []
+                for line in para:
+                    col = 0
+                    nl = []
+                    for i, (w, _fl, _cfl) in enumerate(line):
+                        col += 0 if i == 0 else 1
+                        x0, x1 = col, col + len(w)
+                        col = x1
+                        if x0 >= rx0 and y >= ry0 and x1 <= rx1 and y + 1 <= ry1:
+                            nl.append(line[i])
+                    y += 1
+                    if nl:
+                        np_.append(nl)
+                if np_:
+                    nb.paras.append(np_)
+            if nb.paras:
+                out.append(nb)
+        return out
+
+    def _emit(
+        self,
+        blocks: list[Block],
+        layout_only: bool,
+        region: tuple[int, int, int, int] | None,
+    ) -> tuple[list[dict], str]:
+        """Assign reading-order ids + char-grid geometry; build spans & text."""
+        blocks = self._resolve(blocks)
+        if region is not None:
+            blocks = self._rect_filter(blocks, region)
+        spans: list[dict] = []
+        para_renders: list[str] = []
+        y = 0
+        block_id = -1
+        emit_syms = self._emit_symbols and not layout_only
+
+        for blk in blocks:
+            if blk.is_image:
+                # non-text block: one imaginary para/line/word, no symbols
+                # (Next() semantics, tesserocr/tesserocr.pyx:501-508)
+                block_id += 1
+                bb = _bbox(0, y, 0, y + 1)
+                base = {"block_type": blk.block_type, "text": None, "conf": 0.0,
+                        "blanks": 0, "bbox": bb, "flags": 0}
+                for level, ids in (
+                    (RIL.BLOCK, (block_id, -1, -1, -1, -1)),
+                    (RIL.PARA, (block_id, 0, -1, -1, -1)),
+                    (RIL.TEXTLINE, (block_id, 0, 0, -1, -1)),
+                    (RIL.WORD, (block_id, 0, 0, 0, -1)),
+                ):
+                    spans.append({"level": level, "block_id": ids[0], "para_id": ids[1],
+                                  "line_id": ids[2], "word_id": ids[3], "symbol_id": ids[4],
+                                  **base})
+                y += 1
+                continue
+
+            boiler_flag = FLAG_BOILERPLATE if blk.boiler else 0
+            block_spans: list[dict] = []
+            block_word_confs: list[float] = []
+            block_y0 = y
+            block_x1 = 0
+            para_id = -1
+            for para in blk.paras:
+                para_lines: list[str] = []
+                para_spans: list[dict] = []
+                para_confs: list[float] = []
+                py0 = y
+                px1 = 0
+                line_id = -1
+                for line in para:
+                    col = 0
+                    line_words: list[dict] = []
+                    line_confs: list[float] = []
+                    parts: list[str] = []
+                    word_id = -1
+                    for wtext, wflags, wchar_flags in line:
+                        word_id += 1
+                        blanks = 0 if word_id == 0 else 1
+                        col += blanks
+                        x0, x1c = col, col + len(wtext)
+                        col = x1c
+                        cf = word_conf(wtext)
+                        fl = word_flags(wtext, wflags) | boiler_flag
+                        wspan = {"level": RIL.WORD, "block_id": 0, "para_id": 0,
+                                 "line_id": 0, "word_id": word_id, "symbol_id": -1,
+                                 "block_type": blk.block_type,
+                                 "text": None if layout_only else wtext,
+                                 "conf": cf, "blanks": blanks,
+                                 "bbox": _bbox(x0, y, x1c, y + 1), "flags": fl}
+                        line_words.append(wspan)
+                        line_confs.append(cf)
+                        if emit_syms:
+                            for si, ch in enumerate(wtext):
+                                # per-symbol sup/sub from the char, other bits
+                                # from the word (tesserocr.pyx:1018-1040)
+                                sfl = (fl & ~3) | (wchar_flags[si] & 3)
+                                line_words.append(
+                                    {"level": RIL.SYMBOL, "block_id": 0, "para_id": 0,
+                                     "line_id": 0, "word_id": word_id, "symbol_id": si,
+                                     "block_type": blk.block_type,
+                                     "text": ch, "conf": cf, "blanks": 0,
+                                     "bbox": _bbox(x0 + si, y, x0 + si + 1, y + 1),
+                                     "flags": sfl})
+                        parts.append(wtext)
+                    if not parts:
+                        continue
+                    line_id += 1
+                    for s in line_words:
+                        s["line_id"] = line_id
+                    ltext = " ".join(parts)
+                    lconf = sum(line_confs) / len(line_confs)
+                    lspan = {"level": RIL.TEXTLINE, "block_id": 0, "para_id": 0,
+                             "line_id": line_id, "word_id": -1, "symbol_id": -1,
+                             "block_type": blk.block_type,
+                             "text": None if layout_only else ltext,
+                             "conf": lconf, "blanks": 0,
+                             "bbox": _bbox(0, y, len(ltext), y + 1),
+                             "flags": boiler_flag}
+                    para_spans.append(lspan)
+                    para_spans.extend(line_words)
+                    para_confs.extend(line_confs)
+                    para_lines.append(ltext)
+                    px1 = max(px1, len(ltext))
+                    y += 1
+                if not para_lines:
+                    continue
+                para_id += 1
+                for s in para_spans:
+                    s["para_id"] = para_id
+                ptext = "\n".join(para_lines)
+                pconf = sum(para_confs) / len(para_confs)
+                pspan = {"level": RIL.PARA, "block_id": 0, "para_id": para_id,
+                         "line_id": -1, "word_id": -1, "symbol_id": -1,
+                         "block_type": blk.block_type,
+                         "text": None if layout_only else ptext + "\n",
+                         "conf": pconf, "blanks": 0,
+                         "bbox": _bbox(0, py0, px1, y), "flags": boiler_flag}
+                block_spans.append(pspan)
+                block_spans.extend(para_spans)
+                block_word_confs.extend(para_confs)
+                para_renders.append(ptext + "\n")
+                block_x1 = max(block_x1, px1)
+            if not block_spans:
+                continue
+            block_id += 1
+            for s in block_spans:
+                s["block_id"] = block_id
+            btext = "".join(
+                (s["text"] or "") for s in block_spans if s["level"] == RIL.PARA
+            )
+            bconf = sum(block_word_confs) / len(block_word_confs)
+            spans.append({"level": RIL.BLOCK, "block_id": block_id, "para_id": -1,
+                          "line_id": -1, "word_id": -1, "symbol_id": -1,
+                          "block_type": blk.block_type,
+                          "text": None if layout_only else btext,
+                          "conf": bconf, "blanks": 0,
+                          "bbox": _bbox(0, block_y0, block_x1, y), "flags": boiler_flag})
+            spans.extend(block_spans)
+
+        doc_text = "" if layout_only else "\n".join(para_renders)
+        return spans, doc_text
+
+    def _metrics(self, html_bytes: int, spans: list[dict], truncated: bool) -> dict:
+        n = {RIL.BLOCK: 0, RIL.PARA: 0, RIL.TEXTLINE: 0, RIL.WORD: 0, RIL.SYMBOL: 0}
+        boiler = 0
+        for s in spans:
+            n[s["level"]] += 1
+            if s["level"] == RIL.BLOCK and s["flags"] & FLAG_BOILERPLATE:
+                boiler += 1
+        return {
+            "html_bytes": html_bytes,
+            "n_blocks": n[RIL.BLOCK],
+            "n_paras": n[RIL.PARA],
+            "n_lines": n[RIL.TEXTLINE],
+            "n_words": n[RIL.WORD],
+            "n_symbols": n[RIL.SYMBOL],
+            "n_boiler_blocks": boiler,
+            "scale_factor": 1,  # GetThresholdedImageScaleFactor analogue
+            "truncated": truncated,
+        }
+
+
+def _all_text(blocks: list[Block]) -> str:
+    return " ".join(
+        w for b in blocks if not b.is_image
+        for para in b.paras for line in para for (w, _fl, _cfl) in line
+    )

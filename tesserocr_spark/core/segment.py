@@ -1,0 +1,300 @@
+"""HTML segmentation — the graft of Tesseract's page-layout analysis.
+
+The reference segments a raster page into BLOCK -> PARA -> TEXTLINE -> WORD
+-> SYMBOL regions (tesserocr/tesserocr.pyx:183-207) before recognizing text
+in each. Here the "page" is an HTML document: a single streaming pass with
+``html.parser.HTMLParser`` (no DOM materialization) collects *paragraphs*
+(maximal inline-text runs) annotated with their region root, semantic tag,
+link density and boilerplate ancestry; grouping consecutive paragraphs with
+the same (region, type) yields *blocks*. Boilerplate stripping — the graft
+of Tesseract separating text from non-text regions — removes blocks under
+nav/header/footer/aside ancestors or whose link density exceeds
+``max_link_density`` (text-density/link-density heuristic in the spirit of
+Kohlschütter et al.'s boilerpipe, reimplemented from the published idea).
+
+Everything here is pure Python and Spark-free so the vectorized UDF and the
+pytest fixture generator share one implementation (byte-identity gate).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+from ..constants import BLOCK_TAGS, BOILERPLATE_TAGS, PT, TAG_TO_PT
+
+#: tags that establish a new block-grouping region.
+REGION_TAGS = frozenset(
+    "main article section nav header footer aside table figure ul ol dl "
+    "blockquote body div form".split()
+)
+
+#: void/self-closing tags that never hold text.
+_VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
+
+_WS_RE = re.compile(r"\s+")
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
+
+
+class Fragment:
+    """One run of character data with its inline context."""
+
+    __slots__ = ("text", "link", "sup", "sub")
+
+    def __init__(self, text: str, link: bool, sup: bool, sub: bool) -> None:
+        self.text = text
+        self.link = link
+        self.sup = sup
+        self.sub = sub
+
+
+class RawParagraph:
+    """A maximal inline-text run: the PARA-level segmentation unit."""
+
+    __slots__ = ("tag", "region", "boiler", "frags", "is_image")
+
+    def __init__(self, tag: str, region: int, boiler: bool, is_image: bool = False) -> None:
+        self.tag = tag
+        self.region = region
+        self.boiler = boiler
+        self.frags: list[Fragment] = []
+        self.is_image = is_image
+
+    def link_density(self) -> float:
+        total = 0
+        linked = 0
+        for f in self.frags:
+            n = len(f.text.strip())
+            total += n
+            if f.link:
+                linked += n
+        return (linked / total) if total else 0.0
+
+    def pt_type(self) -> int:
+        if self.is_image:
+            return PT.FLOWING_IMAGE
+        return TAG_TO_PT.get(self.tag, PT.FLOWING_TEXT)
+
+
+class _Segmenter(HTMLParser):
+    """Streaming collector of RawParagraphs (convert_charrefs decodes entities)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.paragraphs: list[RawParagraph] = []
+        self._stack: list[str] = []
+        self._region_stack: list[int] = [0]
+        self._region_counter = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._sup_depth = 0
+        self._sub_depth = 0
+        self._current: RawParagraph | None = None
+        self._para_tag = "body"
+
+    # -- paragraph lifecycle ------------------------------------------------
+
+    def _flush(self) -> None:
+        p = self._current
+        if p is not None and (p.is_image or any(f.text.strip() for f in p.frags)):
+            self.paragraphs.append(p)
+        self._current = None
+
+    def _ensure_para(self) -> RawParagraph:
+        if self._current is None:
+            self._current = RawParagraph(
+                self._para_tag, self._region_stack[-1], self._boiler_depth > 0
+            )
+        return self._current
+
+    # -- HTMLParser hooks ----------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        if tag == "br":
+            if self._current is not None:
+                self._current.frags.append(Fragment("\n", False, False, False))
+            return
+        if tag in ("img", "hr"):
+            self._flush()
+            p = RawParagraph(tag, self._region_stack[-1], self._boiler_depth > 0, is_image=True)
+            self.paragraphs.append(p)
+            return
+        if tag in _VOID_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._para_tag = tag
+        if tag in REGION_TAGS:
+            self._region_counter += 1
+            self._region_stack.append(self._region_counter)
+        if tag in BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        elif tag == "sup":
+            self._sup_depth += 1
+        elif tag == "sub":
+            self._sub_depth += 1
+        self._stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._para_tag = "body"
+        if tag in REGION_TAGS and len(self._region_stack) > 1:
+            self._region_stack.pop()
+        if tag in BOILERPLATE_TAGS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        elif tag == "sup" and self._sup_depth > 0:
+            self._sup_depth -= 1
+        elif tag == "sub" and self._sub_depth > 0:
+            self._sub_depth -= 1
+        # pop matching open tag if present (tolerates malformed nesting)
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data: str) -> None:
+        if self._boiler_depth > 0 and any(
+            t in ("script", "style", "noscript", "template", "title", "head")
+            for t in self._stack
+        ):
+            return  # script/style/head payloads are never visible text
+        if not data:
+            return
+        p = self._ensure_para()
+        p.frags.append(
+            Fragment(data, self._link_depth > 0, self._sup_depth > 0, self._sub_depth > 0)
+        )
+
+    def close(self) -> None:  # noqa: D102 — flush trailing text
+        super().close()
+        self._flush()
+
+
+def parse_paragraphs(html_text: str) -> list[RawParagraph]:
+    """Tokenize + segment one HTML document into RawParagraphs.
+
+    Tolerant of malformed/unclosed markup (HTMLParser never raises on it);
+    plain text with no tags becomes a single body paragraph.
+    """
+    seg = _Segmenter()
+    try:
+        seg.feed(html_text)
+        seg.close()
+    except Exception:
+        # salvage whatever was collected; a paragraph mid-flight is flushed
+        seg._flush()
+    return seg.paragraphs
+
+
+def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
+    """Split a paragraph into lines of (word, flags, char_flags) — the
+    TEXTLINE/WORD law. ``char_flags`` keeps per-character sup/sub bits for
+    SYMBOL-level spans (per-symbol attributes, tesserocr/tesserocr.pyx:1018-1040).
+
+    Frozen whitespace law (byte-identity gate, FIXTURES.md §2):
+
+    1. entity-decoded character data, whitespace runs normalized to one space;
+    2. explicit ``<br>`` breaks a line;
+    3. a line also breaks after sentence-terminal punctuation
+       (``. ! ? …``) followed by whitespace;
+    4. words are the space-separated tokens of each line.
+
+    flags bitfield: 1=superscript, 2=subscript (from <sup>/<sub>,
+    reference symbol attributes tesserocr/tesserocr.pyx:1018-1040).
+    """
+    # build one string per <br>-separated segment, tracking per-char flags
+    segments: list[list[tuple[str, int]]] = [[]]  # list of (char, flags)
+    for f in para.frags:
+        if f.text == "\n" and not f.link:
+            segments.append([])
+            continue
+        fl = (1 if f.sup else 0) | (2 if f.sub else 0)
+        for ch in f.text:
+            segments[-1].append((ch, fl))
+
+    lines: list[list[tuple[str, int, tuple]]] = []
+    for seg in segments:
+        if not seg:
+            continue
+        # rebuild words by walking original chars and collapsing whitespace;
+        # a word is sup/sub only if EVERY one of its chars is (AND-fold)
+        words: list[tuple[str, int, tuple]] = []
+        buf: list[str] = []
+        buf_char_flags: list[int] = []
+        for ch, fl in seg:
+            if ch.isspace():
+                if buf:
+                    wf = buf_char_flags[0]
+                    for f in buf_char_flags:
+                        wf &= f
+                    words.append(("".join(buf), wf, tuple(buf_char_flags)))
+                    buf, buf_char_flags = [], []
+            else:
+                buf.append(ch)
+                buf_char_flags.append(fl)
+        if buf:
+            wf = buf_char_flags[0]
+            for f in buf_char_flags:
+                wf &= f
+            words.append(("".join(buf), wf, tuple(buf_char_flags)))
+        if not words:
+            continue
+        # sentence-boundary line breaks over the word sequence
+        cur: list[tuple[str, int, tuple]] = []
+        for item in words:
+            cur.append(item)
+            w = item[0]
+            if w and w[-1] in ".!?…" and len(w) > 1:
+                lines.append(cur)
+                cur = []
+        if cur:
+            lines.append(cur)
+    return lines
+
+
+class Block:
+    """BLOCK-level region: consecutive same-(region, type) paragraphs."""
+
+    __slots__ = ("block_type", "boiler", "paras", "is_image")
+
+    def __init__(self, block_type: int, boiler: bool, is_image: bool) -> None:
+        self.block_type = block_type
+        self.boiler = boiler
+        self.is_image = is_image
+        self.paras: list[list[list[tuple[str, int]]]] = []  # para -> line -> (word, flags)
+
+
+def group_blocks(paragraphs: list[RawParagraph], max_link_density: float) -> list[Block]:
+    """Group paragraphs into blocks and classify boilerplate.
+
+    A paragraph is boilerplate if it sits under a boilerplate ancestor or its
+    own link density exceeds ``max_link_density``. Consecutive paragraphs with
+    equal (region, pt_type, boiler) fold into one block, mirroring how the
+    reference groups uniform regions into poly-blocks
+    (tesserocr/tesserocr.pyx:210-277).
+    """
+    blocks: list[Block] = []
+    prev_key: tuple | None = None
+    for p in paragraphs:
+        if p.is_image:
+            blocks.append(Block(p.pt_type(), p.boiler, True))
+            prev_key = None
+            continue
+        boiler = p.boiler or p.link_density() > max_link_density
+        ptype = PT.NOISE if boiler else p.pt_type()
+        lines = split_lines(p)
+        if not lines:
+            continue
+        key = (p.region, ptype, boiler)
+        if key != prev_key:
+            blocks.append(Block(ptype, boiler, False))
+            prev_key = key
+        blocks[-1].paras.append(lines)
+    return blocks

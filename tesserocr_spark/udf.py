@@ -1,0 +1,116 @@
+"""Vectorized Arrow UDFs — the only Python in the hot path.
+
+Design (SURVEY.md §4): the reference amortizes model load by reusing one
+engine instance across documents (README.rst:137-152); here an ``Extractor``
+is a per-Python-worker lazy singleton keyed by config, reused across Arrow
+batches. Everything else (projections, aggregations, joins, windows) stays
+JVM-side.
+
+Two UDFs:
+
+* ``make_extract_udf``      — full result: struct(extracted_text, spans,
+                              osd, metrics). The Recognize analogue
+                              (tesserocr/tesserocr.pyx:2136-2163).
+* ``make_extract_text_udf`` — text-only fast path (image_to_text,
+                              tesserocr/tesserocr.pyx:2683-2732); skips span
+                              materialization, ~3-5× cheaper — use it when
+                              the query only needs ``extracted_text`` (the
+                              layout-only/column-pruning tactic the optimizer
+                              cannot see across the Python boundary).
+
+A per-batch wall-clock budget mirrors Recognize's ETEXT_DESC deadline
+(tesserocr/tesserocr.pyx:2150-2161): documents starting after the budget is
+exhausted yield NULL results instead of stalling a corpus-scale job.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, ExtractorConfig
+from .core.extractor import Extractor
+from .schemas import EXTRACT_RESULT_SCHEMA
+
+def _as_variables_key(config: ExtractorConfig) -> tuple:
+    # dataclass with a dict field is unhashable; normalize to a hashable twin
+    return (config.lang, config.psm, config.oem, tuple(sorted(config.variables.items())))
+
+
+#: per-worker singleton cache: config key -> Extractor (instance-reuse tactic).
+_EXTRACTORS_BY_KEY: dict[tuple, Extractor] = {}
+
+
+def _extractor_for(config: ExtractorConfig) -> Extractor:
+    key = _as_variables_key(config)
+    ex = _EXTRACTORS_BY_KEY.get(key)
+    if ex is None:
+        ex = Extractor(config)
+        _EXTRACTORS_BY_KEY[key] = ex
+    return ex
+
+
+def make_extract_udf(
+    config: ExtractorConfig | None = None,
+    timeout_ms_per_doc: int = 0,
+):
+    """Scalar Arrow pandas_udf: html:binary -> EXTRACT_RESULT_SCHEMA struct."""
+    cfg = config or DEFAULT_CONFIG
+
+    @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+    def extract(html: pd.Series) -> pd.DataFrame:
+        ex = _extractor_for(cfg)
+        n = len(html)
+        deadline = (
+            time.monotonic() + (timeout_ms_per_doc / 1000.0) * n
+            if timeout_ms_per_doc > 0 else None
+        )
+        texts: list[str | None] = []
+        spans: list[list | None] = []
+        osds: list[dict | None] = []
+        metrics: list[dict | None] = []
+        for raw in html:
+            if deadline is not None and time.monotonic() > deadline:
+                texts.append(None)
+                spans.append(None)
+                osds.append(None)
+                metrics.append(None)
+                continue
+            doc = ex.extract(raw)
+            texts.append(doc.text)
+            spans.append(doc.spans)
+            osds.append(doc.osd)
+            metrics.append(doc.metrics)
+        return pd.DataFrame(
+            {"extracted_text": texts, "spans": spans, "osd": osds, "metrics": metrics}
+        )
+
+    return extract
+
+
+def make_extract_text_udf(
+    config: ExtractorConfig | None = None,
+    timeout_ms_per_doc: int = 0,
+):
+    """Scalar Arrow pandas_udf: html:binary -> extracted_text:string."""
+    cfg = config or DEFAULT_CONFIG
+
+    @F.pandas_udf("string")
+    def extract_text(html: pd.Series) -> pd.Series:
+        ex = _extractor_for(cfg)
+        n = len(html)
+        deadline = (
+            time.monotonic() + (timeout_ms_per_doc / 1000.0) * n
+            if timeout_ms_per_doc > 0 else None
+        )
+        out: list[str | None] = []
+        for raw in html:
+            if deadline is not None and time.monotonic() > deadline:
+                out.append(None)
+                continue
+            out.append(ex.extract_text(raw))
+        return pd.Series(out, dtype="object")
+
+    return extract_text
