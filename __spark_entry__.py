@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline over pages derived
+from sf0.001 documents. ``queries()`` / ``oracle_sql()`` — the operator
+registry from SURVEY.md §2 (tesserocr_spark.queries), each Spark
+implementation paired with a DuckDB-runnable ANSI-SQL oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +11,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: html -> main-content
+    extraction (the image_to_text analogue) with spans + OSD + metrics."""
+    from tesserocr_spark.api import extract_pages
+    from tesserocr_spark.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    docs = extract_pages(pages)
+    return docs.select(
+        "url",
+        "extracted_text",
+        F.size("spans").alias("n_spans"),
+        F.col("osd.script_name").alias("script"),
+        F.col("metrics.n_words").alias("n_words"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tesserocr_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tesserocr_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,226 @@
+"""Extraction-family driver queries — the real html→spans pipeline end-to-end.
+
+Every query here runs the actual vectorized extraction UDF over
+``pages_from_documents`` and is checked against a *closed-form* ANSI-SQL
+oracle over the raw ``documents`` text (possible because the page template
+is frozen — see pages.py). This makes the driver's DuckDB harness validate
+the whole engine (segmentation, boilerplate strip, fold, geometry, ids,
+confidence), not just relational plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..api import spans_long
+from ..constants import RIL
+from .registry import SQL_CONF, SQL_PAGES, SQL_WORDS, docs_for, query, words_for
+
+_WORD_ORDER = Window.partitionBy("url").orderBy("pos")
+
+
+@query(
+    "utf8_text",
+    oracle=f"WITH {SQL_PAGES} SELECT url, norm || chr(10) AS text FROM pages",
+)
+def utf8_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetUTF8Text per document (tesserocr/tesserocr.pyx:2379-2390) — the
+    byte-identity flagship: extracted main content, boilerplate stripped."""
+    return docs_for(spark, sf_dir).select("url", F.col("extracted_text").alias("text"))
+
+
+@query(
+    "all_words",
+    oracle=f"WITH {SQL_WORDS} SELECT url, pos, word FROM words",
+)
+def all_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllWords (tesserocr/tesserocr.pyx:2528-2544): reading-order word list."""
+    return words_for(spark, sf_dir).select("url", "pos", "word")
+
+
+@query(
+    "all_word_confidences",
+    oracle=f"WITH {SQL_WORDS} SELECT url, pos, CAST({SQL_CONF} AS INT) AS conf FROM words",
+)
+def all_word_confidences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllWordConfidences (tesserocr/tesserocr.pyx:2503-2526) — int-truncated."""
+    return words_for(spark, sf_dir).select(
+        "url", "pos", F.col("conf").cast("int").alias("conf")
+    )
+
+
+@query(
+    "map_word_confidences",
+    oracle=f"WITH {SQL_WORDS} SELECT url, pos, word, CAST({SQL_CONF} AS INT) AS conf FROM words",
+)
+def map_word_confidences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapWordConfidences (tesserocr/tesserocr.pyx:2546-2559): the positional
+    zip of AllWords × AllWordConfidences — here a single projection since both
+    are views of the same span rows."""
+    return words_for(spark, sf_dir).select(
+        "url", "pos", "word", F.col("conf").cast("int").alias("conf")
+    )
+
+
+@query(
+    "mean_text_conf",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, CAST(floor(avg({SQL_CONF})) AS INT) AS conf FROM words GROUP BY url""",
+)
+def mean_text_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanTextConf (tesserocr/tesserocr.pyx:2499-2501): doc mean, truncated."""
+    return (
+        words_for(spark, sf_dir)
+        .groupBy("url")
+        .agg(F.floor(F.avg("conf")).cast("int").alias("conf"))
+    )
+
+
+@query(
+    "word_geometry",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, pos, word,
+       CAST(coalesce(sum(length(word) + 1) OVER (
+            PARTITION BY url ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS x0,
+       CAST(coalesce(sum(length(word) + 1) OVER (
+            PARTITION BY url ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + length(word) AS INT) AS x1
+FROM words""",
+)
+def word_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-grid word boxes (BoundingBox, tesserocr/tesserocr.pyx:586-608):
+    the engine's emitted geometry vs a closed-form prefix-sum oracle."""
+    return words_for(spark, sf_dir).select(
+        "url", "pos", "word", F.col("bbox.x0").alias("x0"), F.col("bbox.x1").alias("x1")
+    )
+
+
+@query(
+    "span_level_counts",
+    oracle=f"""WITH {SQL_PAGES},
+stats AS (
+  SELECT url,
+         len(string_split(norm, ' ')) AS nw,
+         length(replace(norm, ' ', '')) AS nsym
+  FROM pages
+)
+SELECT url, 0 AS level, CAST(1 AS BIGINT) AS n FROM stats
+UNION ALL SELECT url, 1, 1 FROM stats
+UNION ALL SELECT url, 2, 1 FROM stats
+UNION ALL SELECT url, 3, nw FROM stats
+UNION ALL SELECT url, 4, nsym FROM stats""",
+)
+def span_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span count per RIL level (the hierarchy integrity check: 1 block,
+    1 para, 1 line per templated page; words; symbols = non-space chars)."""
+    return (
+        spans_long(docs_for(spark, sf_dir))
+        .groupBy("url", "level")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "osd_script",
+    oracle=f"WITH {SQL_PAGES} SELECT url, 'Latin' AS script_name, 0 AS orient_deg FROM pages",
+)
+def osd_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DetectOS (tesserocr/tesserocr.pyx:2615-2634): script + orientation."""
+    return docs_for(spark, sf_dir).select(
+        "url",
+        F.col("osd.script_name").alias("script_name"),
+        F.col("osd.orient_deg").alias("orient_deg"),
+    )
+
+
+@query(
+    "word_boundaries",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, pos, word,
+       pos = 0 AS is_line_start,
+       lead(word) OVER (PARTITION BY url ORDER BY pos) IS NULL AS is_final
+FROM words""",
+)
+def word_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IsAtBeginningOf / IsAtFinalElement (tesserocr/tesserocr.pyx:518-568)
+    as lag/lead boundary flags over the reading-order window."""
+    sl = spans_long(docs_for(spark, sf_dir)).filter(
+        (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+    )
+    w = Window.partitionBy("url").orderBy("block_id", "para_id", "line_id", "word_id")
+    line_key = F.struct("block_id", "para_id", "line_id")
+    return (
+        sl.withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn(
+            "is_line_start",
+            F.lag(line_key).over(w).isNull()
+            | (F.lag(line_key).over(w) != line_key),
+        )
+        .withColumn("is_final", F.lead("word_id").over(w).isNull())
+        .select("url", "pos", F.col("text").alias("word"), "is_line_start", "is_final")
+    )
+
+
+@query(
+    "doc_metrics",
+    oracle=f"""WITH {SQL_PAGES}
+SELECT url,
+       CAST(1 AS INT) AS n_blocks,
+       CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+       CAST(length(replace(norm, ' ', '')) AS INT) AS n_symbols
+FROM pages""",
+)
+def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document extraction metrics struct (lineage source)."""
+    d = docs_for(spark, sf_dir)
+    return d.select(
+        "url",
+        F.col("metrics.n_blocks").alias("n_blocks"),
+        F.col("metrics.n_words").alias("n_words"),
+        F.col("metrics.n_symbols").alias("n_symbols"),
+    )
+
+
+@query(
+    "tsv_word_rows",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url,
+       5 AS tsv_level, pos, word,
+       CAST(length(word) AS INT) AS width,
+       CAST(1 AS INT) AS height,
+       {SQL_CONF} AS conf
+FROM words""",
+)
+def tsv_word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetTSVText word rows (tesserocr/tesserocr.pyx:2427-2441) — spans_long
+    as a flat TSV-shaped projection (level is 1-based in TSV: WORD=5)."""
+    return words_for(spark, sf_dir).select(
+        "url",
+        (F.lit(5)).alias("tsv_level"),
+        "pos",
+        "word",
+        (F.col("bbox.x1") - F.col("bbox.x0")).alias("width"),
+        (F.col("bbox.y1") - F.col("bbox.y0")).alias("height"),
+        "conf",
+    )
+
+
+@query("extract_full")  # rows-only: full struct over the seeded synthetic corpus
+def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction struct over the richer synthetic corpus (multi-para,
+    boilerplate, figures, degenerate rows) — rows-only driver check; the
+    byte-level assertions live in pytest."""
+    from ..api import extract_pages
+    from ..pages import synthetic_pages
+
+    docs = extract_pages(synthetic_pages(spark, 300))
+    return docs.select(
+        "url",
+        "extracted_text",
+        F.size("spans").alias("n_spans"),
+        F.col("osd.script_name").alias("script"),
+        F.col("metrics.n_words").alias("n_words"),
+    )

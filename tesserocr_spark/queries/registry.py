@@ -1,0 +1,100 @@
+"""Query registry: every operator exposed to the driver harness.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame`` with
+an equivalent ANSI-SQL oracle string (DuckDB, over the pre-registered views
+``region nation customer supplier part orders lineitem events documents
+embeddings``). Column names/aliases are identical on both sides — the driver
+sorts columns by name and hashes values (order-insensitive).
+
+Cross-engine determinism rules used throughout:
+
+* float aggregates rounded (2-6 dp) — FP addition order differs between
+  engines;
+* int truncation made explicit with ``floor`` (DuckDB casts round,
+  Spark casts truncate);
+* md5-hex → int64 via the verified-equivalent pair
+  Spark ``conv(substr(md5(x),1,15),16,10)::bigint`` ↔
+  DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a driver query; ``oracle=None`` → rows-only check."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+#: memoized extraction results per sf_dir (the multi-query persist tactic).
+_DOCS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def docs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages_from_documents -> extract, persisted once per (session, sf_dir)."""
+    from ..api import extract_pages
+    from ..pages import pages_from_documents
+
+    key = (id(spark), sf_dir)
+    df = _DOCS_CACHE.get(key)
+    if df is None:
+        df = extract_pages(pages_from_documents(spark, sf_dir)).persist()
+        _DOCS_CACHE[key] = df
+    return df
+
+
+def words_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-level spans with reading-order pos (AllWords base view)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..api import spans_long
+    from ..constants import RIL
+
+    sl = spans_long(docs_for(spark, sf_dir))
+    w = (
+        F.row_number().over(
+            Window.partitionBy("url").orderBy("block_id", "para_id", "line_id", "word_id")
+        )
+        - 1
+    )
+    return (
+        sl.filter((F.col("level") == RIL.WORD) & F.col("text").isNotNull())
+        .select("url", w.alias("pos"), F.col("text").alias("word"), "conf", "bbox")
+    )
+
+
+#: shared oracle prologue: the pages/words views in SQL (keep in sync with
+#: pages.pages_from_documents + the extraction whitespace law).
+SQL_PAGES = """
+pages AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+"""
+
+SQL_WORDS = SQL_PAGES + """,
+words AS (
+  SELECT url,
+         unnest(string_split(norm, ' ')) AS word,
+         generate_subscripts(string_split(norm, ' '), 1) - 1 AS pos
+  FROM pages
+)
+"""
+
+#: frozen confidence formula in SQL (extractor.word_conf mirror).
+SQL_CONF = "CAST(95.0 - ((3 * length(word)) % 11) AS DOUBLE)"

@@ -1,0 +1,157 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline; sign-LSH bucketing is the
+scale path (bucket join instead of all-pairs). All vector math uses
+``F.aggregate``/``F.zip_with`` sequential folds in double precision, which
+matches DuckDB's ``list_dot_product``/``list_cosine_similarity`` bit-for-bit
+(verified), so the oracles compare exactly at 6 dp rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+
+_N_QUERIES = 5   # vec_id < 5 are the query vectors
+_TOP_K = 5
+_LSH_K = 8       # hyperplanes
+_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+FROM embeddings""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms — the vector-math smoke check (fold == list_dot_product)."""
+    e = _emb(spark, sf_dir)
+    return e.select("vec_id", "label", F.round(_norm("e"), 6).alias("l2"))
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+FROM scored WHERE rank <= {_TOP_K}""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector: broadcast the (small) query set
+    against the corpus — at scale the corpus side stays partitioned and only
+    queries are replicated, so no all-pairs shuffle."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+def _hyperplane(k: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 — same literal on both engines."""
+    signs = []
+    for d in range(_DIM):
+        h = hashlib.md5(f"{k}:{d}".encode()).digest()[0]
+        signs.append(1.0 if h % 2 == 0 else -1.0)
+    return signs
+
+
+def _lsh_bucket_expr():
+    """Sum_k (dot(e, plane_k) > 0) << k, planes as literal arrays (sequential
+    fold ⇒ engine-identical)."""
+    bucket = F.lit(0)
+    for k in range(_LSH_K):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(k)])
+        bit = F.when(_dot("e", plane) > 0, 1 << k).otherwise(0)
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def _lsh_bucket_sql() -> str:
+    terms = []
+    for k in range(_LSH_K):
+        plane = "[" + ", ".join(str(v) for v in _hyperplane(k)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}::DOUBLE[]) > 0 "
+            f"THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"SELECT vec_id, CAST({_lsh_bucket_sql()} AS INT) AS bucket FROM embeddings",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment (8 deterministic hyperplanes → 256
+    buckets): the partition key for scalable ANN — candidates co-locate by
+    bucket, turning all-pairs similarity into per-bucket joins."""
+    e = _emb(spark, sf_dir)
+    return e.select("vec_id", _lsh_bucket_expr().alias("bucket"))
+
+
+@query("ann_lsh_topk")  # rows-only: composition of the two oracle-checked stages
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine only within the query's bucket.
+    Composition of ann_lsh_buckets + ann_bruteforce_topk (both
+    oracle-checked); recall vs brute force is asserted in pytest."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_expr())
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    cos = _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cos_raw", 6).alias("cos"))
+    )
