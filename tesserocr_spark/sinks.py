@@ -1,0 +1,148 @@
+"""Multi-format sinks — the renderer chain (tesserocr/tesserocr.pyx:2186-2251).
+
+The reference builds a linked list of renderers (txt/TSV/hOCR/box/UNLV) from
+``tessedit_create_*`` variables and pushes each recognized page through all
+of them in one pass. Spark equivalent: extract once, ``persist()``, then one
+``DataFrameWriter`` action per enabled format — Catalyst does NOT dedupe the
+extraction across actions by itself, hence the explicit cache (SURVEY.md §4
+"multi-sink single pass").
+
+Format notes:
+* txt  — one line per document: ``url \\t json-escaped text`` (newline-safe).
+* tsv  — GetTSVText: spans_long projected to the reference's column order —
+  a pure JVM projection, no Python.
+* hocr/box/unlv — per-document formatted strings from the shared core
+  serializers, applied via one vectorized UDF over the spans column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .api import spans_long
+from .config import DEFAULT_CONFIG, ExtractorConfig
+
+
+def txt_sink(docs: DataFrame) -> DataFrame:
+    """(url, text) with JSON-escaped text — safe for .write.text lines."""
+    return docs.select(
+        F.concat_ws("\t", F.col("url"), F.to_json(F.struct("extracted_text"))).alias("value")
+    )
+
+
+def tsv_sink(docs: DataFrame) -> DataFrame:
+    """GetTSVText (tesserocr/tesserocr.pyx:2427-2441) as a flat projection:
+    level+1, page, block, para, line, word (1-based), bbox as l/t/w/h, conf,
+    text. SYMBOL rows excluded like the reference TSV."""
+    sl = spans_long(docs).filter(F.col("level") < 4)
+    return sl.select(
+        "url",
+        (F.col("level") + 1).alias("tsv_level"),
+        F.lit(1).alias("page_num"),
+        (F.col("block_id") + 1).alias("block_num"),
+        (F.col("para_id") + 1).alias("par_num"),
+        (F.col("line_id") + 1).alias("line_num"),
+        (F.col("word_id") + 1).alias("word_num"),
+        F.col("bbox.x0").alias("left"),
+        F.col("bbox.y0").alias("top"),
+        (F.col("bbox.x1") - F.col("bbox.x0")).alias("width"),
+        (F.col("bbox.y1") - F.col("bbox.y0")).alias("height"),
+        F.round("conf", 2).alias("conf"),
+        F.when(F.col("level") >= 3, F.coalesce("text", F.lit(""))).otherwise("").alias("text"),
+    )
+
+
+def _spans_format_udf(formatter):
+    """Wrap a core serializer (spans list -> str) as a vectorized UDF."""
+
+    @F.pandas_udf("string")
+    def fmt(url: pd.Series, spans: pd.Series) -> pd.Series:
+        out = []
+        for u, sp in zip(url, spans):
+            rows = [] if sp is None else [
+                {**s, "bbox": dict(s["bbox"])} if not isinstance(s.get("bbox"), dict) else s
+                for s in (_row_to_dict(x) for x in sp)
+            ]
+            out.append(formatter(u, rows))
+        return pd.Series(out, dtype="object")
+
+    return fmt
+
+
+def _row_to_dict(s) -> dict:
+    d = s if isinstance(s, dict) else s.asDict(recursive=True)
+    if not isinstance(d.get("bbox"), dict):
+        d = dict(d)
+        d["bbox"] = d["bbox"].asDict() if d["bbox"] is not None else None
+    return d
+
+
+def hocr_sink(docs: DataFrame) -> DataFrame:
+    """GetHOCRText (tesserocr/tesserocr.pyx:2411-2425) per document."""
+    from .core.fold import hocr_text
+
+    udf = _spans_format_udf(hocr_text)
+    return docs.select("url", udf("url", "spans").alias("hocr"))
+
+
+def box_sink(docs: DataFrame) -> DataFrame:
+    """GetBoxText (tesserocr/tesserocr.pyx:2443-2460): symbol box lines."""
+    from .core.fold import box_rows
+
+    udf = _spans_format_udf(lambda _u, rows: "\n".join(box_rows(rows)))
+    return docs.select("url", udf("url", "spans").alias("box"))
+
+
+def unlv_sink(docs: DataFrame) -> DataFrame:
+    """GetUNLVText (tesserocr/tesserocr.pyx:2462-2473): suspect-marked fold."""
+    from .core.fold import unlv_text
+
+    udf = _spans_format_udf(lambda _u, rows: unlv_text(rows))
+    return docs.select("url", udf("url", "spans").alias("unlv"))
+
+
+#: variable name -> (suffix, sink builder, writer) — the renderer registry
+#: mirroring _get_renderer's tessedit_create_* switches.
+RENDERERS = {
+    "tessedit_create_txt": ("txt", txt_sink, "text"),
+    "tessedit_create_tsv": ("tsv", tsv_sink, "csv"),
+    "tessedit_create_hocr": ("hocr", hocr_sink, "json"),
+    "tessedit_create_boxfile": ("box", box_sink, "json"),
+    "tessedit_write_unlv": ("unlv", unlv_sink, "json"),
+}
+
+
+def write_renderers(
+    docs: DataFrame,
+    outputbase: str,
+    config: ExtractorConfig | None = None,
+) -> dict[str, str]:
+    """One scan, N sinks: persist docs, write every enabled format.
+
+    Returns {format: output_path}. The reference's OSD-only short-circuit
+    (tesserocr/tesserocr.pyx:2195-2198) falls out naturally: with PSM
+    OSD_ONLY the spans are empty and only txt/osd content is written.
+    """
+    cfg = config or DEFAULT_CONFIG
+    enabled = [(var, spec) for var, spec in RENDERERS.items()
+               if cfg.get_bool_variable(var)]
+    if not enabled:
+        return {}
+    docs = docs.persist()
+    try:
+        out: dict[str, str] = {}
+        for _var, (suffix, builder, writer) in enabled:
+            path = f"{outputbase}.{suffix}"
+            df = builder(docs)
+            if writer == "text":
+                df.write.mode("overwrite").text(path)
+            elif writer == "csv":
+                df.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+            else:
+                df.write.mode("overwrite").json(path)
+            out[suffix] = path
+        return out
+    finally:
+        docs.unpersist()

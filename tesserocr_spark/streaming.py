@@ -1,0 +1,88 @@
+"""Structured Streaming ingest (SURVEY.md §2.10).
+
+The reference is batch-only; its nearest streaming analogue is ProcessPages
+consuming a multi-page input with a per-page timeout
+(tesserocr/tesserocr.pyx:2280-2290). The graft policy: the engine is
+batch-first and the streaming path REUSES the identical batch operators —
+``readStream`` on new page files, a watermark on ``warc_ts`` for late WARC
+arrivals, the same extraction UDF inside ``foreachBatch``, the same sinks.
+No separate streaming operator set exists, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .config import DEFAULT_CONFIG, ExtractorConfig
+from .schemas import PAGES_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-source stream of new page parquet files (new-snapshot analogue)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_path)
+    )
+
+
+def extract_stream(
+    pages: DataFrame,
+    config: ExtractorConfig | None = None,
+) -> DataFrame:
+    """Streaming extraction: same UDF, same schema as the batch path."""
+    from .udf import make_extract_udf
+
+    udf = make_extract_udf(config or DEFAULT_CONFIG)
+    keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    return pages.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    config: ExtractorConfig | None = None,
+) -> StreamingQuery:
+    """readStream → extract → foreachBatch multi-sink (docs + lineage).
+
+    foreachBatch reuses the batch writers so the streaming sink set is
+    byte-identical to the batch one (exactly-once per epoch via checkpoint).
+    """
+    from .jobs import lineage_rows, with_bucket
+
+    docs = extract_stream(read_page_stream(spark, input_path), config)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = with_bucket(batch_df).persist()
+        try:
+            b.write.mode("append").partitionBy("bucket").parquet(f"{output_path}/docs")
+            lineage_rows(b).withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(f"{output_path}/lineage")
+        finally:
+            b.unpersist()
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
+def windowed_page_counts(
+    pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Late-data-tolerant windowed aggregation over crawl time: counts per
+    (warc_ts window, lang). Works on both batch and streaming frames — the
+    batch run is the correctness oracle for the streaming one."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "lang")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "lang", "n")
+    )

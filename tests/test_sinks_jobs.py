@@ -1,0 +1,124 @@
+"""Renderer-chain sinks, ProcessPages job, lineage + checkpoint resume."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tesserocr_spark.api import extract_pages
+from tesserocr_spark.config import ExtractorConfig
+from tesserocr_spark.jobs import (
+    process_pages,
+    remaining_pages,
+    salted_repartition,
+    with_bucket,
+)
+from tesserocr_spark.pages import synthetic_pages
+from tesserocr_spark.sinks import (
+    box_sink,
+    hocr_sink,
+    tsv_sink,
+    txt_sink,
+    unlv_sink,
+    write_renderers,
+)
+
+
+def _docs(spark, n=40):
+    return extract_pages(synthetic_pages(spark, n)).cache()
+
+
+class TestSinks:
+    def test_txt_sink_roundtrip(self, spark):
+        docs = _docs(spark)
+        rows = txt_sink(docs).collect()
+        assert len(rows) == 40
+        url, payload = rows[0].value.split("\t", 1)
+        assert url.startswith("https://")
+        assert "extracted_text" in json.loads(payload)
+
+    def test_tsv_sink_hierarchy(self, spark):
+        docs = _docs(spark)
+        tsv = tsv_sink(docs)
+        levels = {r.tsv_level for r in tsv.select("tsv_level").distinct().collect()}
+        assert levels == {1, 2, 3, 4}  # block..word, 1-based like reference TSV
+        assert tsv.filter(F.col("width") < 0).count() == 0
+
+    def test_hocr_box_unlv(self, spark):
+        docs = _docs(spark, 10)
+        h = hocr_sink(docs).collect()
+        assert all("ocr_page" in r.hocr for r in h)
+        assert any("ocrx_word" in r.hocr for r in h)
+        b = box_sink(docs).collect()
+        assert any(r.box for r in b)
+        # box line: "<ch> x0 y0 x1 y1 0"
+        line = next(r.box for r in b if r.box).split("\n")[0]
+        assert len(line.split(" ")) == 6
+        u = unlv_sink(docs).collect()
+        assert any("^" in r.unlv for r in u)  # suspect markers exist
+
+    def test_write_renderers_multi_sink(self, spark, tmp_path):
+        docs = _docs(spark, 15)
+        cfg = ExtractorConfig(variables={
+            "tessedit_create_txt": "1",
+            "tessedit_create_tsv": "1",
+            "tessedit_create_hocr": "1",
+        })
+        out = write_renderers(docs, str(tmp_path / "out"), cfg)
+        assert set(out) == {"txt", "tsv", "hocr"}
+        txt = spark.read.text(out["txt"])
+        assert txt.count() == 15
+        tsv = spark.read.option("sep", "\t").option("header", True).csv(out["tsv"])
+        assert tsv.count() > 15
+
+
+class TestJobs:
+    def test_bucket_deterministic(self, spark):
+        p = synthetic_pages(spark, 50)
+        b1 = {r.url: r.bucket for r in with_bucket(p).select("url", "bucket").collect()}
+        b2 = {r.url: r.bucket for r in
+              with_bucket(synthetic_pages(spark, 50, partitions=3))
+              .select("url", "bucket").collect()}
+        assert b1 == b2
+
+    def test_salted_repartition_spreads_hot_host(self, spark):
+        """Zipf host0 holds ~50% of pages; after salting no partition holds
+        more than a fair-share multiple of them."""
+        p = synthetic_pages(spark, 400)
+        salted = salted_repartition(p.filter(F.col("url").contains("host0.")), 8)
+        counts = [r.n for r in salted.groupBy(F.spark_partition_id().alias("p"))
+                  .agg(F.count("*").alias("n")).collect()]
+        assert len(counts) > 4  # hot host spread over most partitions
+        assert max(counts) < 2.5 * (sum(counts) / len(counts))
+
+    def test_process_pages_and_resume(self, spark, tmp_path):
+        base = str(tmp_path / "job")
+        pages = synthetic_pages(spark, 60)
+        res1 = process_pages(pages, base, n_buckets=8)
+        assert res1["n_docs"] == 60
+        assert res1["skipped_buckets"] == 0
+        docs = spark.read.parquet(res1["docs"])
+        assert docs.count() == 60
+        assert "bucket" in docs.columns
+        lineage = spark.read.parquet(res1["lineage"])
+        assert lineage.count() <= 8
+        assert lineage.agg(F.sum("n_docs")).collect()[0][0] == 60
+
+        # resume: everything complete -> nothing to do
+        rem = remaining_pages(pages, res1["lineage"], n_buckets=8)
+        assert rem.count() == 0
+        res2 = process_pages(pages, base, n_buckets=8)
+        assert res2["n_docs"] == 0
+        assert res2["skipped_buckets"] == lineage.select("bucket").distinct().count()
+
+    def test_resume_partial(self, spark, tmp_path):
+        """Simulate a failed run: lineage for only some buckets -> resume
+        processes exactly the complement."""
+        base = str(tmp_path / "partial")
+        pages = with_bucket(synthetic_pages(spark, 60), 8)
+        subset = pages.filter(F.col("bucket") < 4).drop("bucket")
+        process_pages(subset, base, n_buckets=8)
+        rem = remaining_pages(pages.drop("bucket"), f"{base}.lineage", n_buckets=8)
+        assert rem.count() == pages.filter(F.col("bucket") >= 4).count()
+        assert rem.filter(F.col("bucket") < 4).count() == 0

@@ -1,0 +1,95 @@
+"""Structured Streaming ingest: stream == batch on the same input."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tesserocr_spark.api import extract_pages
+from tesserocr_spark.pages import synthetic_pages
+from tesserocr_spark.streaming import (
+    extract_stream,
+    read_page_stream,
+    start_extraction_stream,
+    windowed_page_counts,
+)
+
+
+def test_stream_extraction_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    pages = synthetic_pages(spark, 40)
+    pages.repartition(5).write.parquet(src)  # 5 files -> >1 micro-batch
+
+    stream = extract_stream(read_page_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.url: r.extracted_text
+        for r in spark.sql("SELECT url, extracted_text FROM stream_docs").collect()
+    }
+    exp = {
+        r.url: r.extracted_text
+        for r in extract_pages(pages).select("url", "extracted_text").collect()
+    }
+    assert got == exp
+
+
+def test_foreachbatch_sink_with_lineage(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    synthetic_pages(spark, 30).repartition(3).write.parquet(src)
+
+    q = start_extraction_stream(spark, src, out, str(tmp_path / "ckpt2"))
+    q.processAllAvailable()
+    q.stop()
+
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.count() == 30
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.agg(F.sum("n_docs")).collect()[0][0] == 30
+    assert "epoch" in lineage.columns
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    pages = synthetic_pages(spark, 200)
+    pages.repartition(4).write.parquet(src)
+
+    batch = {
+        (str(r.win_start), r.lang): r.n
+        for r in windowed_page_counts(spark.read.parquet(src)).collect()
+    }
+
+    stream = windowed_page_counts(read_page_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (str(r.win_start), r.lang): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == batch
+
+
+def test_late_data_watermark_in_stream_plan(spark, tmp_path):
+    """Watermark node present in the streaming plan (it is a no-op on batch
+    frames, so assert on the readStream path)."""
+    src = str(tmp_path / "src4")
+    synthetic_pages(spark, 5).write.parquet(src)
+    stream = windowed_page_counts(read_page_stream(spark, src))
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
