@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         local[N] cores (default 32)
+  SPARK_GRAFT_BENCH_PAGES  synthetic corpus size for the extraction
+                           benchmarks (default 120000)
+
+Pages are materialized to parquet once (outside the timed region, cached
+under /tmp keyed by size) so the timed extraction job is the realistic
+shape: parquet scan → Arrow batches → vectorized UDF → noop sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BENCH_QUERIES = (
+    "extract_text",        # flagship: docs/sec, text-only fast path
+    "extract_full",        # full struct (spans, no symbols), docs/sec
+    "spans_agg",           # extraction + spans_long word aggregation
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "q1_flagship_agg",
+    "revenue_by_nation",
+)
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tesserocr_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_pages(spark, n: int, cpus: int) -> str:
+    path = f"/tmp/tesserocr_spark_bench_pages_{n}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        from tesserocr_spark.pages import synthetic_pages
+
+        synthetic_pages(spark, n, partitions=cpus * 4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from tesserocr_spark.api import extract_pages, extract_spans_long, extract_text_only
+    from tesserocr_spark.config import ExtractorConfig
+    from tesserocr_spark.pages import pages_from_documents
+    from tesserocr_spark.queries import QUERIES
+
+    pages_path = ensure_pages(spark, n_pages, cpus)
+    pages = spark.read.parquet(pages_path)
+    # discarded warm-up run (BASELINE.md protocol): spins up the Python
+    # workers (imports amortize across the whole job on a real cluster) and
+    # warms the OS page cache so both parallelism levels start equal.
+    pages.select(F.count("*")).collect()
+    _noop(extract_text_only(pages.sample(0.15, seed=1)))  # keeps all partitions busy
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    nosym = ExtractorConfig(variables={"emit_symbols": "0"})
+
+    timed("extract_text", lambda: _noop(extract_text_only(pages)))
+    timed("extract_full", lambda: _noop(extract_pages(pages, nosym)))
+    timed(
+        "spans_agg",
+        lambda: _noop(
+            extract_spans_long(pages_from_documents(spark, sf_dir))
+            .groupBy("url", "level")
+            .count()
+        ),
+    )
+    for q in ("dedup_minhash_lsh", "ann_bruteforce_topk",
+              "q1_flagship_agg", "revenue_by_nation"):
+        timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / timings["extract_text"], 1)
+    docs_per_sec_full = round(n_pages / timings["extract_full"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": cpus,
+                "bench_pages": n_pages,
+                "docs_per_sec_text": docs_per_sec,
+                "docs_per_sec_full": docs_per_sec_full,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,21 @@ def extract_text_only(
     return pages.select("url", udf(F.col("html")).alias("extracted_text"))
 
 
+def extract_spans_long(
+    pages: DataFrame,
+    config: ExtractorConfig | None = None,
+) -> DataFrame:
+    """pages -> flat span rows directly (no nested column): the corpus-scale
+    path for span analytics. Identical rows to ``spans_long(extract_pages(
+    pages))`` minus the nested-struct Arrow cost."""
+    from .schemas import SPANS_LONG_SCHEMA
+    from .udf import make_spans_long_kernel
+
+    return pages.select("url", "html").mapInPandas(
+        make_spans_long_kernel(config), SPANS_LONG_SCHEMA
+    )
+
+
 def spans_long(docs: DataFrame) -> DataFrame:
     """Exploded spans view: one row per span, with reading-order ``pos``
     (iterate_level analogue, tesserocr/tesserocr.pyx:1173-1183). Spans never

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from typing import NamedTuple
 
 from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..constants import PSM, PT, RIL
@@ -60,20 +61,50 @@ def word_flags(word: str, base: int) -> int:
     return fl
 
 
+class Span(NamedTuple):
+    """One span of the hierarchy. A NamedTuple (not a dict) so the Arrow
+    conversion in the vectorized UDF maps fields positionally — measurably
+    cheaper than per-span dicts at corpus scale. ``bbox`` is the plain tuple
+    ``(x0, y0, x1, y1)`` in char-grid geometry."""
+
+    level: int
+    block_id: int
+    para_id: int
+    line_id: int
+    word_id: int
+    symbol_id: int
+    block_type: int
+    text: str | None
+    conf: float
+    blanks: int
+    bbox: tuple
+    flags: int
+
+
+def as_span(obj) -> Span:
+    """Coerce a Spark Row / dict / tuple back into a Span (sinks path)."""
+    if isinstance(obj, Span):
+        return obj
+    if isinstance(obj, dict):
+        b = obj["bbox"]
+        bbox = (b["x0"], b["y0"], b["x1"], b["y1"]) if isinstance(b, dict) else tuple(b)
+        return Span(obj["level"], obj["block_id"], obj["para_id"], obj["line_id"],
+                    obj["word_id"], obj["symbol_id"], obj["block_type"], obj["text"],
+                    obj["conf"], obj["blanks"], bbox, obj["flags"])
+    # pyspark Row supports asDict
+    return as_span(obj.asDict(recursive=True))
+
+
 class ExtractedDoc:
     """Result of extracting one document (the PAGE_RES analogue)."""
 
     __slots__ = ("text", "spans", "osd", "metrics")
 
-    def __init__(self, text: str, spans: list[dict], osd: dict, metrics: dict) -> None:
+    def __init__(self, text: str, spans: list[Span], osd: dict, metrics: dict) -> None:
         self.text = text
         self.spans = spans
         self.osd = osd
         self.metrics = metrics
-
-
-def _bbox(x0: int, y0: int, x1: int, y1: int) -> dict:
-    return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
 
 
 class Extractor:
@@ -292,149 +323,120 @@ class Extractor:
         blocks: list[Block],
         layout_only: bool,
         region: tuple[int, int, int, int] | None,
-    ) -> tuple[list[dict], str]:
-        """Assign reading-order ids + char-grid geometry; build spans & text."""
+    ) -> tuple[list[Span], str]:
+        """Assign reading-order ids + char-grid geometry; build spans & text.
+
+        Post-_resolve invariant: every text block has >=1 para, every para
+        >=1 line, every line >=1 word — so within-parent ids are direct
+        enumeration indices (content-derived, partition-independent).
+        """
         blocks = self._resolve(blocks)
         if region is not None:
             blocks = self._rect_filter(blocks, region)
-        spans: list[dict] = []
+        spans: list[Span] = []
         para_renders: list[str] = []
         y = 0
         block_id = -1
         emit_syms = self._emit_symbols and not layout_only
 
         for blk in blocks:
+            bt = blk.block_type
             if blk.is_image:
                 # non-text block: one imaginary para/line/word, no symbols
                 # (Next() semantics, tesserocr/tesserocr.pyx:501-508)
                 block_id += 1
-                bb = _bbox(0, y, 0, y + 1)
-                base = {"block_type": blk.block_type, "text": None, "conf": 0.0,
-                        "blanks": 0, "bbox": bb, "flags": 0}
-                for level, ids in (
-                    (RIL.BLOCK, (block_id, -1, -1, -1, -1)),
-                    (RIL.PARA, (block_id, 0, -1, -1, -1)),
-                    (RIL.TEXTLINE, (block_id, 0, 0, -1, -1)),
-                    (RIL.WORD, (block_id, 0, 0, 0, -1)),
-                ):
-                    spans.append({"level": level, "block_id": ids[0], "para_id": ids[1],
-                                  "line_id": ids[2], "word_id": ids[3], "symbol_id": ids[4],
-                                  **base})
+                bb = (0, y, 0, y + 1)
+                spans.append(Span(RIL.BLOCK, block_id, -1, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
+                spans.append(Span(RIL.PARA, block_id, 0, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
+                spans.append(Span(RIL.TEXTLINE, block_id, 0, 0, -1, -1, bt, None, 0.0, 0, bb, 0))
+                spans.append(Span(RIL.WORD, block_id, 0, 0, 0, -1, bt, None, 0.0, 0, bb, 0))
                 y += 1
                 continue
 
+            block_id += 1
             boiler_flag = FLAG_BOILERPLATE if blk.boiler else 0
-            block_spans: list[dict] = []
-            block_word_confs: list[float] = []
+            block_conf_sum = 0.0
+            block_nw = 0
             block_y0 = y
             block_x1 = 0
-            para_id = -1
-            for para in blk.paras:
-                para_lines: list[str] = []
-                para_spans: list[dict] = []
-                para_confs: list[float] = []
+            block_parts: list[str] = []
+            bpos = len(spans)
+            spans.append(None)  # BLOCK placeholder, filled after children
+            for para_id, para in enumerate(blk.paras):
+                para_conf_sum = 0.0
+                para_nw = 0
                 py0 = y
                 px1 = 0
-                line_id = -1
-                for line in para:
+                ppos = len(spans)
+                spans.append(None)  # PARA placeholder
+                para_lines: list[str] = []
+                for line_id, line in enumerate(para):
                     col = 0
-                    line_words: list[dict] = []
-                    line_confs: list[float] = []
+                    line_conf_sum = 0.0
                     parts: list[str] = []
-                    word_id = -1
-                    for wtext, wflags, wchar_flags in line:
-                        word_id += 1
+                    lpos = len(spans)
+                    spans.append(None)  # LINE placeholder
+                    for word_id, (wtext, wflags, wchar_flags) in enumerate(line):
                         blanks = 0 if word_id == 0 else 1
                         col += blanks
                         x0, x1c = col, col + len(wtext)
                         col = x1c
                         cf = word_conf(wtext)
                         fl = word_flags(wtext, wflags) | boiler_flag
-                        wspan = {"level": RIL.WORD, "block_id": 0, "para_id": 0,
-                                 "line_id": 0, "word_id": word_id, "symbol_id": -1,
-                                 "block_type": blk.block_type,
-                                 "text": None if layout_only else wtext,
-                                 "conf": cf, "blanks": blanks,
-                                 "bbox": _bbox(x0, y, x1c, y + 1), "flags": fl}
-                        line_words.append(wspan)
-                        line_confs.append(cf)
+                        spans.append(Span(
+                            RIL.WORD, block_id, para_id, line_id, word_id, -1, bt,
+                            None if layout_only else wtext, cf, blanks,
+                            (x0, y, x1c, y + 1), fl))
+                        line_conf_sum += cf
                         if emit_syms:
+                            base_style = fl & ~3
                             for si, ch in enumerate(wtext):
                                 # per-symbol sup/sub from the char, other bits
                                 # from the word (tesserocr.pyx:1018-1040)
-                                sfl = (fl & ~3) | (wchar_flags[si] & 3)
-                                line_words.append(
-                                    {"level": RIL.SYMBOL, "block_id": 0, "para_id": 0,
-                                     "line_id": 0, "word_id": word_id, "symbol_id": si,
-                                     "block_type": blk.block_type,
-                                     "text": ch, "conf": cf, "blanks": 0,
-                                     "bbox": _bbox(x0 + si, y, x0 + si + 1, y + 1),
-                                     "flags": sfl})
+                                spans.append(Span(
+                                    RIL.SYMBOL, block_id, para_id, line_id, word_id,
+                                    si, bt, ch, cf, 0,
+                                    (x0 + si, y, x0 + si + 1, y + 1),
+                                    base_style | (wchar_flags[si] & 3)))
                         parts.append(wtext)
-                    if not parts:
-                        continue
-                    line_id += 1
-                    for s in line_words:
-                        s["line_id"] = line_id
+                    nw = len(line)
                     ltext = " ".join(parts)
-                    lconf = sum(line_confs) / len(line_confs)
-                    lspan = {"level": RIL.TEXTLINE, "block_id": 0, "para_id": 0,
-                             "line_id": line_id, "word_id": -1, "symbol_id": -1,
-                             "block_type": blk.block_type,
-                             "text": None if layout_only else ltext,
-                             "conf": lconf, "blanks": 0,
-                             "bbox": _bbox(0, y, len(ltext), y + 1),
-                             "flags": boiler_flag}
-                    para_spans.append(lspan)
-                    para_spans.extend(line_words)
-                    para_confs.extend(line_confs)
+                    spans[lpos] = Span(
+                        RIL.TEXTLINE, block_id, para_id, line_id, -1, -1, bt,
+                        None if layout_only else ltext, line_conf_sum / nw, 0,
+                        (0, y, len(ltext), y + 1), boiler_flag)
+                    para_conf_sum += line_conf_sum
+                    para_nw += nw
                     para_lines.append(ltext)
-                    px1 = max(px1, len(ltext))
+                    if len(ltext) > px1:
+                        px1 = len(ltext)
                     y += 1
-                if not para_lines:
-                    continue
-                para_id += 1
-                for s in para_spans:
-                    s["para_id"] = para_id
                 ptext = "\n".join(para_lines)
-                pconf = sum(para_confs) / len(para_confs)
-                pspan = {"level": RIL.PARA, "block_id": 0, "para_id": para_id,
-                         "line_id": -1, "word_id": -1, "symbol_id": -1,
-                         "block_type": blk.block_type,
-                         "text": None if layout_only else ptext + "\n",
-                         "conf": pconf, "blanks": 0,
-                         "bbox": _bbox(0, py0, px1, y), "flags": boiler_flag}
-                block_spans.append(pspan)
-                block_spans.extend(para_spans)
-                block_word_confs.extend(para_confs)
+                spans[ppos] = Span(
+                    RIL.PARA, block_id, para_id, -1, -1, -1, bt,
+                    None if layout_only else ptext + "\n", para_conf_sum / para_nw,
+                    0, (0, py0, px1, y), boiler_flag)
+                block_conf_sum += para_conf_sum
+                block_nw += para_nw
+                block_parts.append(ptext + "\n")
                 para_renders.append(ptext + "\n")
-                block_x1 = max(block_x1, px1)
-            if not block_spans:
-                continue
-            block_id += 1
-            for s in block_spans:
-                s["block_id"] = block_id
-            btext = "".join(
-                (s["text"] or "") for s in block_spans if s["level"] == RIL.PARA
-            )
-            bconf = sum(block_word_confs) / len(block_word_confs)
-            spans.append({"level": RIL.BLOCK, "block_id": block_id, "para_id": -1,
-                          "line_id": -1, "word_id": -1, "symbol_id": -1,
-                          "block_type": blk.block_type,
-                          "text": None if layout_only else btext,
-                          "conf": bconf, "blanks": 0,
-                          "bbox": _bbox(0, block_y0, block_x1, y), "flags": boiler_flag})
-            spans.extend(block_spans)
+                if px1 > block_x1:
+                    block_x1 = px1
+            spans[bpos] = Span(
+                RIL.BLOCK, block_id, -1, -1, -1, -1, bt,
+                None if layout_only else "".join(block_parts),
+                block_conf_sum / block_nw, 0,
+                (0, block_y0, block_x1, y), boiler_flag)
 
         doc_text = "" if layout_only else "\n".join(para_renders)
         return spans, doc_text
 
-    def _metrics(self, html_bytes: int, spans: list[dict], truncated: bool) -> dict:
+    def _metrics(self, html_bytes: int, spans: list[Span], truncated: bool) -> dict:
         n = {RIL.BLOCK: 0, RIL.PARA: 0, RIL.TEXTLINE: 0, RIL.WORD: 0, RIL.SYMBOL: 0}
         boiler = 0
         for s in spans:
-            n[s["level"]] += 1
-            if s["level"] == RIL.BLOCK and s["flags"] & FLAG_BOILERPLATE:
+            n[s.level] += 1
+            if s.level == RIL.BLOCK and s.flags & FLAG_BOILERPLATE:
                 boiler += 1
         return {
             "html_bytes": html_bytes,

@@ -38,11 +38,28 @@ def classify_char(ch: str) -> str | None:
     return "Latin" if cp < 0x0250 else None
 
 
+_ASCII_ALPHA_RE = None
+
+
 def detect_os(text: str, lang: str = "eng") -> dict:
     """Return the OSD struct: orientation (always 0 for HTML), dominant
     script and confidences. Empty text falls back to a script implied by the
     declared language hint (multi-lang spec semantics,
     tesserocr/tesserocr.pyx:1207-1217)."""
+    if text.isascii():
+        # fast path: pure-ASCII text is all-Latin by construction
+        global _ASCII_ALPHA_RE
+        if _ASCII_ALPHA_RE is None:
+            import re
+
+            _ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")
+        n = len(_ASCII_ALPHA_RE.findall(text))
+        if n == 0:
+            fallback = _LANG_SCRIPT.get(lang.split("+")[0], "Latin")
+            return {"orient_deg": 0, "orient_conf": 0.0,
+                    "script_name": fallback, "script_conf": 0.0}
+        return {"orient_deg": 0, "orient_conf": 100.0,
+                "script_name": "Latin", "script_conf": 100.0}
     counts: dict[str, int] = {}
     total = 0
     for ch in text:

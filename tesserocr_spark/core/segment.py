@@ -89,6 +89,9 @@ class _Segmenter(HTMLParser):
         self._link_depth = 0
         self._sup_depth = 0
         self._sub_depth = 0
+        self._bold_depth = 0
+        self._italic_depth = 0
+        self._mono_depth = 0
         self._current: RawParagraph | None = None
         self._para_tag = "body"
 
@@ -135,6 +138,12 @@ class _Segmenter(HTMLParser):
             self._sup_depth += 1
         elif tag == "sub":
             self._sub_depth += 1
+        elif tag in ("b", "strong"):
+            self._bold_depth += 1
+        elif tag in ("i", "em"):
+            self._italic_depth += 1
+        elif tag in ("code", "tt", "pre", "kbd", "samp"):
+            self._mono_depth += 1
         self._stack.append(tag)
 
     def handle_endtag(self, tag: str) -> None:
@@ -153,6 +162,12 @@ class _Segmenter(HTMLParser):
             self._sup_depth -= 1
         elif tag == "sub" and self._sub_depth > 0:
             self._sub_depth -= 1
+        elif tag in ("b", "strong") and self._bold_depth > 0:
+            self._bold_depth -= 1
+        elif tag in ("i", "em") and self._italic_depth > 0:
+            self._italic_depth -= 1
+        elif tag in ("code", "tt", "pre", "kbd", "samp") and self._mono_depth > 0:
+            self._mono_depth -= 1
         # pop matching open tag if present (tolerates malformed nesting)
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i] == tag:

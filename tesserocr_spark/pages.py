@@ -44,9 +44,18 @@ _LANG3 = {"en": "eng", "de": "deu", "fr": "fra", "es": "spa", "zh": "chi_sim",
           "pt": "por", "it": "ita", "ru": "rus", "ja": "jpn", "nl": "nld"}
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> pages table, all JVM-side (zero Python per row)."""
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet -> pages table, all JVM-side (zero Python per row).
+
+    The testdata parquet is a single small file (one scan partition); a real
+    corpus table has thousands of files/buckets. Repartition to cluster
+    parallelism so the downstream extraction UDF fans out — without this the
+    whole extraction would run serially in one task.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(partitions or spark.sparkContext.defaultParallelism)
     lang_map = F.create_map(*[F.lit(x) for kv in _LANG3.items() for x in kv])
     return docs.select(
         F.concat(

@@ -74,6 +74,28 @@ EXTRACT_RESULT_SCHEMA = T.StructType([
     T.StructField("metrics", METRICS_SCHEMA, True),
 ])
 
+#: flat exploded-spans schema — the hot path for corpus-scale span queries:
+#: emitted directly by a mapInPandas kernel as columnar arrays (no nested
+#: structs through Arrow, no per-span dicts anywhere).
+SPANS_LONG_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("level", T.IntegerType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("para_id", T.IntegerType(), False),
+    T.StructField("line_id", T.IntegerType(), False),
+    T.StructField("word_id", T.IntegerType(), False),
+    T.StructField("symbol_id", T.IntegerType(), False),
+    T.StructField("block_type", T.IntegerType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("conf", T.DoubleType(), False),
+    T.StructField("blanks", T.IntegerType(), False),
+    T.StructField("x0", T.IntegerType(), False),
+    T.StructField("y0", T.IntegerType(), False),
+    T.StructField("x1", T.IntegerType(), False),
+    T.StructField("y1", T.IntegerType(), False),
+    T.StructField("flags", T.IntegerType(), False),
+])
+
 #: per-partition lineage rows for checkpoint/resume (north_rule).
 LINEAGE_SCHEMA = T.StructType([
     T.StructField("bucket", T.IntegerType(), False),

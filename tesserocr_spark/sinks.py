@@ -55,28 +55,17 @@ def tsv_sink(docs: DataFrame) -> DataFrame:
 
 
 def _spans_format_udf(formatter):
-    """Wrap a core serializer (spans list -> str) as a vectorized UDF."""
+    """Wrap a core serializer (spans list -> str) as a vectorized UDF.
+    Arrow hands spans back as dicts; ``as_span`` in the serializers coerces."""
 
     @F.pandas_udf("string")
     def fmt(url: pd.Series, spans: pd.Series) -> pd.Series:
         out = []
         for u, sp in zip(url, spans):
-            rows = [] if sp is None else [
-                {**s, "bbox": dict(s["bbox"])} if not isinstance(s.get("bbox"), dict) else s
-                for s in (_row_to_dict(x) for x in sp)
-            ]
-            out.append(formatter(u, rows))
+            out.append(formatter(u, [] if sp is None else list(sp)))
         return pd.Series(out, dtype="object")
 
     return fmt
-
-
-def _row_to_dict(s) -> dict:
-    d = s if isinstance(s, dict) else s.asDict(recursive=True)
-    if not isinstance(d.get("bbox"), dict):
-        d = dict(d)
-        d["bbox"] = d["bbox"].asDict() if d["bbox"] is not None else None
-    return d
 
 
 def hocr_sink(docs: DataFrame) -> DataFrame:

@@ -90,6 +90,48 @@ def make_extract_udf(
     return extract
 
 
+def make_spans_long_kernel(
+    config: ExtractorConfig | None = None,
+):
+    """mapInPandas kernel: (url, html, ...) batches -> flat SPANS_LONG rows.
+
+    The scale path for span queries: spans cross the Arrow boundary as
+    columnar primitive arrays (zip-transposed tuples), never as per-span
+    dicts/structs — an order of magnitude cheaper than the nested column.
+    """
+    cfg = config or DEFAULT_CONFIG
+
+    def kernel(batches):
+        ex = _extractor_for(cfg)
+        for pdf in batches:
+            urls: list[str] = []
+            all_spans: list = []
+            for u, raw in zip(pdf["url"], pdf["html"]):
+                spans = ex.extract(raw).spans
+                all_spans.extend(spans)
+                urls.extend([u] * len(spans))
+            if not all_spans:
+                yield pd.DataFrame(
+                    {c: [] for c in ("url", "level", "block_id", "para_id",
+                                     "line_id", "word_id", "symbol_id",
+                                     "block_type", "text", "conf", "blanks",
+                                     "x0", "y0", "x1", "y1", "flags")}
+                )
+                continue
+            (level, block_id, para_id, line_id, word_id, symbol_id, block_type,
+             text, conf, blanks, bbox, flags) = zip(*all_spans)
+            x0, y0, x1, y1 = zip(*bbox)
+            yield pd.DataFrame({
+                "url": urls, "level": level, "block_id": block_id,
+                "para_id": para_id, "line_id": line_id, "word_id": word_id,
+                "symbol_id": symbol_id, "block_type": block_type, "text": text,
+                "conf": conf, "blanks": blanks,
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1, "flags": flags,
+            })
+
+    return kernel
+
+
 def make_extract_text_udf(
     config: ExtractorConfig | None = None,
     timeout_ms_per_doc: int = 0,

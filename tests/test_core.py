@@ -61,11 +61,11 @@ class TestGolden:
     def test_first_words_and_blanks(self, canonical):
         # reference exact-first-words fixture, tests/test_api.py:209-225
         words = [s for s in canonical.spans
-                 if s["level"] == RIL.WORD and s["text"] is not None]
-        words.sort(key=lambda s: (s["block_id"], s["para_id"], s["line_id"], s["word_id"]))
-        body = [w for w in words if w["block_id"] == 1]
-        assert body[0]["text"] == "The" and body[0]["blanks"] == 0
-        assert body[1]["text"] == "(quick)" and body[1]["blanks"] == 1
+                 if s.level == RIL.WORD and s.text is not None]
+        words.sort(key=lambda s: (s.block_id, s.para_id, s.line_id, s.word_id))
+        body = [w for w in words if w.block_id == 1]
+        assert body[0].text == "The" and body[0].blanks == 0
+        assert body[1].text == "(quick)" and body[1].blanks == 1
 
     def test_osd(self, canonical):
         # reference OSD fixture: orientation 0, script Latin
@@ -107,16 +107,16 @@ class TestInvariants:
 
     def test_word_count_equals_conf_count(self, canonical):
         words = [s for s in canonical.spans
-                 if s["level"] == RIL.WORD and s["text"] is not None]
-        confs = [s["conf"] for s in words]
+                 if s.level == RIL.WORD and s.text is not None]
+        confs = [s.conf for s in words]
         assert len(words) == len(confs)
         for w in words:
-            assert w["conf"] == word_conf(w["text"])
+            assert w.conf == word_conf(w.text)
 
     def test_reading_order_strictly_increasing(self, canonical):
         keys = [
-            (s["block_id"], s["para_id"], s["line_id"], s["word_id"],
-             s["symbol_id"], s["level"])
+            (s.block_id, s.para_id, s.line_id, s.word_id,
+             s.symbol_id, s.level)
             for s in canonical.spans
         ]
         assert keys == sorted(keys)
@@ -125,56 +125,57 @@ class TestInvariants:
     def test_envelopes_contain_children(self, canonical):
         spans = canonical.spans
         parents = {
-            (s["level"], s["block_id"], s["para_id"], s["line_id"], s["word_id"]): s
+            (s.level, s.block_id, s.para_id, s.line_id, s.word_id): s
             for s in spans
         }
         for s in spans:
-            if s["level"] == RIL.BLOCK:
+            if s.level == RIL.BLOCK:
                 continue
             pkeys = {
-                RIL.PARA: (RIL.BLOCK, s["block_id"], -1, -1, -1),
-                RIL.TEXTLINE: (RIL.PARA, s["block_id"], s["para_id"], -1, -1),
-                RIL.WORD: (RIL.TEXTLINE, s["block_id"], s["para_id"], s["line_id"], -1),
-                RIL.SYMBOL: (RIL.WORD, s["block_id"], s["para_id"], s["line_id"],
-                             s["word_id"]),
+                RIL.PARA: (RIL.BLOCK, s.block_id, -1, -1, -1),
+                RIL.TEXTLINE: (RIL.PARA, s.block_id, s.para_id, -1, -1),
+                RIL.WORD: (RIL.TEXTLINE, s.block_id, s.para_id, s.line_id, -1),
+                RIL.SYMBOL: (RIL.WORD, s.block_id, s.para_id, s.line_id,
+                             s.word_id),
             }
-            p = parents[pkeys[s["level"]]]
-            b, pb = s["bbox"], p["bbox"]
-            assert pb["x0"] <= b["x0"] and pb["y0"] <= b["y0"]
-            assert pb["x1"] >= b["x1"] and pb["y1"] >= b["y1"]
+            p = parents[pkeys[s.level]]
+            bx0, by0, bx1, by1 = s.bbox
+            px0, py0, px1, py1 = p.bbox
+            assert px0 <= bx0 and py0 <= by0
+            assert px1 >= bx1 and py1 >= by1
 
     def test_symbols_concat_to_word(self, canonical):
         # LSTM-choice invariant analogue (tests/test_api.py:188-206)
         words = {}
         syms = {}
         for s in canonical.spans:
-            k = (s["block_id"], s["para_id"], s["line_id"], s["word_id"])
-            if s["level"] == RIL.WORD and s["text"] is not None:
-                words[k] = s["text"]
-            elif s["level"] == RIL.SYMBOL:
-                syms.setdefault(k, []).append((s["symbol_id"], s["text"]))
+            k = (s.block_id, s.para_id, s.line_id, s.word_id)
+            if s.level == RIL.WORD and s.text is not None:
+                words[k] = s.text
+            elif s.level == RIL.SYMBOL:
+                syms.setdefault(k, []).append((s.symbol_id, s.text))
         for k, w in words.items():
             assert "".join(t for _, t in sorted(syms[k])) == w
 
     def test_image_block_imaginary_hierarchy(self, canonical):
         # non-text block visits PARA/LINE/WORD once, never SYMBOL
         # (Next() semantics, tesserocr/tesserocr.pyx:501-508)
-        img_blocks = [s["block_id"] for s in canonical.spans
-                      if s["level"] == RIL.BLOCK and s["block_type"] == PT.FLOWING_IMAGE]
+        img_blocks = [s.block_id for s in canonical.spans
+                      if s.level == RIL.BLOCK and s.block_type == PT.FLOWING_IMAGE]
         assert img_blocks
         for b in img_blocks:
-            levels = sorted(s["level"] for s in canonical.spans if s["block_id"] == b)
+            levels = sorted(s.level for s in canonical.spans if s.block_id == b)
             assert levels == [RIL.BLOCK, RIL.PARA, RIL.TEXTLINE, RIL.WORD]
 
     def test_sup_sub_flags(self, canonical):
-        flagged = {s["text"]: s["flags"] for s in canonical.spans
-                   if s["level"] == RIL.SYMBOL}
+        flagged = {s.text: s.flags for s in canonical.spans
+                   if s.level == RIL.SYMBOL}
         assert flagged["8"] & FLAG_SUPERSCRIPT
         assert flagged["2"] & FLAG_SUBSCRIPT
 
     def test_numeric_flag(self):
         d = Extractor().extract(b"<p>year 2026 was 99.5% fine</p>")
-        flags = {s["text"]: s["flags"] for s in d.spans if s["level"] == RIL.WORD}
+        flags = {s.text: s.flags for s in d.spans if s.level == RIL.WORD}
         assert flags["2026"] & FLAG_NUMERIC
         assert flags["99.5%"] & FLAG_NUMERIC
         assert not flags["year"] & FLAG_NUMERIC
@@ -188,7 +189,7 @@ class TestDegenerate:
     def test_yields_empty(self, html):
         d = Extractor().extract(html)
         assert d.text == ""
-        assert [s for s in d.spans if s["text"]] == []
+        assert [s for s in d.spans if s.text] == []
 
     def test_one_byte(self):
         d = Extractor().extract(b"x")
@@ -214,8 +215,8 @@ class TestPSM:
     def test_single_column_keeps_boiler(self):
         d = Extractor(ExtractorConfig(psm=PSM.SINGLE_COLUMN)).extract(CANONICAL_HTML)
         assert "home" in d.text
-        noise = [s for s in d.spans if s["level"] == RIL.BLOCK and s["block_type"] == PT.NOISE]
-        assert noise and all(s["flags"] & FLAG_BOILERPLATE for s in noise)
+        noise = [s for s in d.spans if s.level == RIL.BLOCK and s.block_type == PT.NOISE]
+        assert noise and all(s.flags & FLAG_BOILERPLATE for s in noise)
 
     def test_single_block_one_block(self):
         d = Extractor(ExtractorConfig(psm=PSM.SINGLE_BLOCK)).extract(CANONICAL_HTML)
@@ -241,7 +242,7 @@ class TestPSM:
         # AnalyseLayout: geometry/ids, text NULL (tesserocr.pyx:2113-2134)
         d = Extractor(ExtractorConfig(psm=PSM.AUTO_ONLY)).extract(CANONICAL_HTML)
         assert d.text == ""
-        assert d.spans and all(s["text"] is None for s in d.spans)
+        assert d.spans and all(s.text is None for s in d.spans)
         full = Extractor().extract(CANONICAL_HTML)
         assert d.metrics["n_words"] == full.metrics["n_words"]
 
@@ -255,8 +256,8 @@ class TestRegion:
 
     def test_region_renumbers_ids(self):
         d = Extractor().extract(CANONICAL_HTML, region=(0, 1, 500, 2))
-        blocks = [s for s in d.spans if s["level"] == RIL.BLOCK]
-        assert blocks and blocks[0]["block_id"] == 0
+        blocks = [s for s in d.spans if s.level == RIL.BLOCK]
+        assert blocks and blocks[0].block_id == 0
 
 
 class TestConfigLifecycle:
@@ -302,7 +303,7 @@ class TestFormatters:
             assert len(r.split("\t")) == 12
 
     def test_box_rows_match_symbols(self, canonical):
-        n_sym = sum(1 for s in canonical.spans if s["level"] == RIL.SYMBOL)
+        n_sym = sum(1 for s in canonical.spans if s.level == RIL.SYMBOL)
         assert len(box_rows(canonical.spans)) == n_sym
 
 
