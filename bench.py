@@ -85,11 +85,15 @@ def main() -> None:
     _noop(extract_text_only(pages.sample(0.15, seed=1)))  # keeps all partitions busy
 
     timings: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):  # best-of-N: local-mode timings are noisy
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     nosym = ExtractorConfig(variables={"emit_symbols": "0"})
 

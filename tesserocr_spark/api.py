@@ -12,6 +12,7 @@ DataFrame query over the exploded spans view, fully Catalyst-planned.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,8 +134,6 @@ class SparkPageAPI:
                 # region re-extraction: filter word spans by the rectangle in
                 # the *original* geometry is done inside the core; here we
                 # re-run the UDF with the region closed over.
-                from .core.extractor import Extractor  # noqa: F401 (documented path)
-                import pandas as pd
                 from .schemas import EXTRACT_RESULT_SCHEMA
 
                 region = self._region
@@ -256,6 +255,96 @@ class SparkPageAPI:
     def get_words(self) -> DataFrame:
         return self.get_component_images(RIL.WORD)
 
+    def get_connected_components(self) -> DataFrame:
+        """GetConnectedComponents (tesserocr/tesserocr.pyx:2008-2032):
+        pre-recognition candidate components — the layout-only word boxes."""
+        from .constants import PSM
+
+        api = SparkPageAPI(self.spark, self.config.with_psm(PSM.AUTO_ONLY))
+        api._pages = self._pages
+        return spans_long(api.recognize()).filter(F.col("level") == RIL.WORD)
+
+    # -- attribute accessors (tesserocr_spark.attributes views) -------------
+
+    def word_font_attributes(self) -> DataFrame:
+        from .attributes import word_font_attributes
+
+        return word_font_attributes(self.get_iterator())
+
+    def word_attributes(self, dictionary: tuple[str, ...] = ()) -> DataFrame:
+        from .attributes import word_attributes
+
+        return word_attributes(self.get_iterator(), dictionary)
+
+    def symbol_attributes(self) -> DataFrame:
+        from .attributes import symbol_attributes
+
+        return symbol_attributes(self.get_iterator())
+
+    def paragraph_info(self) -> DataFrame:
+        from .attributes import paragraph_info
+
+        return paragraph_info(self.get_iterator())
+
+    def row_attributes(self) -> DataFrame:
+        from .attributes import row_attributes
+
+        return row_attributes(self.get_iterator())
+
+    def baseline(self, level: int = RIL.TEXTLINE) -> DataFrame:
+        from .attributes import baseline
+
+        return baseline(self.get_iterator(), level)
+
+    def block_polygon(self) -> DataFrame:
+        from .attributes import block_polygon
+
+        return block_polygon(self.get_iterator())
+
+    def orientation(self) -> DataFrame:
+        from .attributes import block_orientation
+
+        return block_orientation(self.get_iterator())
+
+    def get_choice_iterator(self) -> DataFrame:
+        from .attributes import symbol_choices
+
+        return symbol_choices(self.get_iterator())
+
+    def get_best_lstm_symbol_choices(self) -> DataFrame:
+        from .attributes import best_lstm_symbol_choices
+
+        return best_lstm_symbol_choices(self.get_iterator())
+
+    def charset_table(self) -> DataFrame:
+        from .attributes import charset_table
+
+        return charset_table(self.get_iterator())
+
+    def is_valid_character(self, ch: str) -> bool:
+        """IsValidCharacter (tesserocr/tesserocr.pyx:2593-2600): membership
+        in the engine charset (anything printable minus the blacklist)."""
+        if len(ch) != 1 or not ch.isprintable():
+            return False
+        return ch not in set(self.config.get_variable("tessedit_char_blacklist"))
+
+    def get_text_direction(self) -> DataFrame:
+        from .attributes import text_direction
+
+        return text_direction(self.recognize())
+
+    def empty(self, level: int) -> DataFrame:
+        """Empty(level) predicate per document (tesserocr/tesserocr.pyx:628-637)."""
+        sl = self.get_iterator()
+        return (
+            self.recognize().select("url")
+            .join(
+                sl.filter(F.col("level") == level).select("url").distinct(),
+                "url", "left_anti",
+            )
+            .select("url", F.lit(True).alias("empty"))
+        )
+
     def detect_os(self) -> DataFrame:
         """(url, osd struct) (DetectOS, tesserocr/tesserocr.pyx:2615-2634)."""
         return self.recognize().select("url", "osd.*")
@@ -271,3 +360,27 @@ def _url_window():
     from pyspark.sql import Window
 
     return Window.partitionBy("url")
+
+
+def tesseract_rect(
+    pages: DataFrame,
+    left: int,
+    top: int,
+    width: int,
+    height: int,
+    config: ExtractorConfig | None = None,
+) -> DataFrame:
+    """TesseractRect (tesserocr/tesserocr.pyx:1670-1712): one-shot fused
+    scan + region restriction + extraction -> (url, text)."""
+    from .udf import _extractor_for
+
+    cfg = config or DEFAULT_CONFIG
+    region = (left, top, width, height)
+
+    @F.pandas_udf("string")
+    def rect_text(html: pd.Series) -> pd.Series:
+        ex = _extractor_for(cfg)
+        return pd.Series([ex.extract(h, region=region).text for h in html],
+                         dtype="object")
+
+    return pages.select("url", rect_text(F.col("html")).alias("text"))

@@ -43,6 +43,12 @@ FLAG_SUBSCRIPT = 2
 FLAG_NUMERIC = 4
 FLAG_RTL = 8
 FLAG_BOILERPLATE = 32
+FLAG_BOLD = 64
+FLAG_ITALIC = 128
+FLAG_MONO = 256
+
+#: char-level style bits (AND-folded into word flags; per-char at SYMBOL)
+STYLE_MASK = FLAG_SUPERSCRIPT | FLAG_SUBSCRIPT | FLAG_BOLD | FLAG_ITALIC | FLAG_MONO
 
 
 def word_conf(word: str) -> float:
@@ -389,15 +395,15 @@ class Extractor:
                             (x0, y, x1c, y + 1), fl))
                         line_conf_sum += cf
                         if emit_syms:
-                            base_style = fl & ~3
+                            base = fl & ~STYLE_MASK
                             for si, ch in enumerate(wtext):
-                                # per-symbol sup/sub from the char, other bits
+                                # per-symbol style from the char, other bits
                                 # from the word (tesserocr.pyx:1018-1040)
                                 spans.append(Span(
                                     RIL.SYMBOL, block_id, para_id, line_id, word_id,
                                     si, bt, ch, cf, 0,
                                     (x0 + si, y, x0 + si + 1, y + 1),
-                                    base_style | (wchar_flags[si] & 3)))
+                                    base | (wchar_flags[si] & STYLE_MASK)))
                         parts.append(wtext)
                     nw = len(line)
                     ltext = " ".join(parts)

@@ -37,15 +37,18 @@ _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
 
 
 class Fragment:
-    """One run of character data with its inline context."""
+    """One run of character data with its inline context.
 
-    __slots__ = ("text", "link", "sup", "sub")
+    ``style`` is the char-level style bitfield shared with extractor flags:
+    1=sup, 2=sub, 64=bold, 128=italic, 256=monospace.
+    """
 
-    def __init__(self, text: str, link: bool, sup: bool, sub: bool) -> None:
+    __slots__ = ("text", "link", "style")
+
+    def __init__(self, text: str, link: bool, style: int) -> None:
         self.text = text
         self.link = link
-        self.sup = sup
-        self.sub = sub
+        self.style = style
 
 
 class RawParagraph:
@@ -115,7 +118,7 @@ class _Segmenter(HTMLParser):
     def handle_starttag(self, tag: str, attrs: list) -> None:
         if tag == "br":
             if self._current is not None:
-                self._current.frags.append(Fragment("\n", False, False, False))
+                self._current.frags.append(Fragment("\n", False, 0))
             return
         if tag in ("img", "hr"):
             self._flush()
@@ -183,9 +186,14 @@ class _Segmenter(HTMLParser):
         if not data:
             return
         p = self._ensure_para()
-        p.frags.append(
-            Fragment(data, self._link_depth > 0, self._sup_depth > 0, self._sub_depth > 0)
+        style = (
+            (1 if self._sup_depth else 0)
+            | (2 if self._sub_depth else 0)
+            | (64 if self._bold_depth else 0)
+            | (128 if self._italic_depth else 0)
+            | (256 if self._mono_depth else 0)
         )
+        p.frags.append(Fragment(data, self._link_depth > 0, style))
 
     def close(self) -> None:  # noqa: D102 — flush trailing text
         super().close()
@@ -225,12 +233,12 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
     reference symbol attributes tesserocr/tesserocr.pyx:1018-1040).
     """
     # build one string per <br>-separated segment, tracking per-char flags
-    segments: list[list[tuple[str, int]]] = [[]]  # list of (char, flags)
+    segments: list[list[tuple[str, int]]] = [[]]  # list of (char, style)
     for f in para.frags:
         if f.text == "\n" and not f.link:
             segments.append([])
             continue
-        fl = (1 if f.sup else 0) | (2 if f.sub else 0)
+        fl = f.style
         for ch in f.text:
             segments[-1].append((ch, fl))
 

@@ -208,6 +208,49 @@ def tsv_word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "word_attributes",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, pos, word,
+       regexp_matches(word, '^[0-9][0-9.,:%/-]*$') AS is_numeric,
+       word IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')
+         AS is_from_dictionary,
+       1 AS direction
+FROM words""",
+)
+def word_attributes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordIsNumeric / WordIsFromDictionary / WordDirection
+    (tesserocr/tesserocr.pyx:944-973) over the real extraction, dictionary =
+    the broadcast stopword list."""
+    from ..attributes import word_attributes
+    from .textops import STOPWORDS
+
+    attrs = word_attributes(spans_long(docs_for(spark, sf_dir)), STOPWORDS)
+    w = Window.partitionBy("url").orderBy("block_id", "para_id", "line_id", "word_id")
+    return attrs.select(
+        "url", (F.row_number().over(w) - 1).alias("pos"), "word",
+        "is_numeric", "is_from_dictionary", "direction",
+    )
+
+
+@query(
+    "charset_table",
+    oracle=f"""WITH {SQL_PAGES},
+glyphs AS (
+  SELECT DISTINCT unnest(string_split(replace(norm, ' ', ''), '')) AS glyph
+  FROM pages
+)
+SELECT CAST(row_number() OVER (ORDER BY glyph) - 1 AS INT) AS unichar_id, glyph
+FROM glyphs""",
+)
+def charset_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetUnichar's id→glyph table (tesserocr/tesserocr.pyx:2636-2642) built
+    from SYMBOL spans of the real extraction."""
+    from ..attributes import charset_table
+
+    return charset_table(spans_long(docs_for(spark, sf_dir)))
+
+
 @query("extract_full")  # rows-only: full struct over the seeded synthetic corpus
 def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction struct over the richer synthetic corpus (multi-para,
