@@ -1,0 +1,86 @@
+"""Physical-plan shape guards: the properties that keep the engine fast at
+100 TB — predicate pushdown into the parquet scan, column pruning across the
+Python boundary, broadcast joins for small dims — asserted on .explain
+output so regressions fail loudly."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_region_filter_pushdown(spark):
+    """SetRectangle-analogue predicates reach the parquet scan."""
+    from tesserocr_spark.queries.relational import region_filter
+
+    plan = _plan(region_filter(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q1_filter_pushdown_and_codegen(spark):
+    from tesserocr_spark.queries.relational import q1_flagship_agg
+
+    df = q1_flagship_agg(spark, SF_DIR)
+    df.collect()  # finalize the AQE plan so codegen stages are visible
+    plan = _plan(df)
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan  # codegen'd agg
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    from tesserocr_spark.queries.relational import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_extract_text_prunes_columns(spark):
+    """The text-only query must not read text/warc_ts/lang from parquet —
+    column pruning through the Arrow UDF boundary."""
+    from pyspark.sql import functions as F
+
+    from tesserocr_spark.api import extract_text_only
+    from tesserocr_spark.pages import synthetic_pages
+
+    path = "/tmp/tesserocr_plan_pages"
+    synthetic_pages(spark, 20).write.mode("overwrite").parquet(path)
+    plan = _plan(extract_text_only(spark.read.parquet(path)))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" in read_schema and "url" in read_schema
+    assert "warc_ts" not in read_schema and "text" not in read_schema
+
+
+def test_single_arrow_eval_for_full_extract(spark):
+    """Expanding res.* must not duplicate the Python stage."""
+    from tesserocr_spark.api import extract_pages
+    from tesserocr_spark.pages import synthetic_pages
+
+    plan = _plan(extract_pages(synthetic_pages(spark, 10)))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """Exact dedup = one hash-agg shuffle keyed by fingerprint."""
+    from tesserocr_spark.queries.dedup import dedup_exact
+
+    plan = _plan(dedup_exact(spark, SF_DIR))
+    # AQE may add reads, but there must be exactly one Exchange boundary
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_broadcasts_queries(spark):
+    """Query vectors are broadcast; the corpus side never shuffles."""
+    from tesserocr_spark.queries.similarity import ann_bruteforce_topk
+
+    plan = _plan(ann_bruteforce_topk(spark, SF_DIR))
+    # query side broadcast; corpus side scanned in place
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    # rank-limit pushed below the shuffle: only each partition's top-k moves
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the only wide exchange is the per-query regroup
+    assert plan.count("Exchange hashpartitioning") == 1
