@@ -52,12 +52,15 @@ def build_spark(cpus: int):
 
 
 def ensure_pages(spark, n: int, cpus: int) -> str:
-    path = f"/tmp/tesserocr_spark_bench_pages_{n}"
+    # fixed 128-way layout regardless of cpus: 4 waves of tasks at 32 cores
+    # (task-size balancing — a single wave of core-count tasks is gated by
+    # its slowest task), identical input files for every parallelism level.
+    path = f"/tmp/tesserocr_spark_bench_pages_{n}_p128"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         from tesserocr_spark.pages import synthetic_pages
 
-        synthetic_pages(spark, n, partitions=cpus * 4).write.mode("overwrite").parquet(path)
+        synthetic_pages(spark, n, partitions=128).write.mode("overwrite").parquet(path)
     return path
 
 

@@ -349,6 +349,55 @@ class SparkPageAPI:
         """(url, osd struct) (DetectOS, tesserocr/tesserocr.pyx:2615-2634)."""
         return self.recognize().select("url", "osd.*")
 
+    def get_thresholded_text(self) -> DataFrame:
+        """GetThresholdedImage analogue (tesserocr/tesserocr.pyx:1849-1862):
+        the *preprocessed* document — all visible text normalized, boilerplate
+        still present (PSM.SINGLE_COLUMN view) — plus the scale factor
+        (GetThresholdedImageScaleFactor, :2104-2111)."""
+        from .constants import PSM
+        from .udf import make_extract_text_udf
+
+        udf = make_extract_text_udf(self.config.with_psm(PSM.SINGLE_COLUMN))
+        return self._pages.select(
+            "url",
+            udf(F.col("html")).alias("thresholded_text"),
+            F.lit(1).alias("scale_factor"),
+        )
+
+    def span_content(self, level: int = RIL.WORD) -> DataFrame:
+        """GetImage / GetBinaryImage per span (tesserocr/tesserocr.pyx:664-734):
+        the cropped content of each span — in char-grid geometry, the
+        substring of its line delimited by the span box."""
+        sl = self.get_iterator()
+        lines = sl.filter(F.col("level") == RIL.TEXTLINE).select(
+            "url", "block_id", "para_id", "line_id",
+            F.col("text").alias("line_text"),
+        )
+        target = sl.filter(F.col("level") == level).alias("t")
+        return (
+            target.join(lines.alias("l"),
+                        ["url", "block_id", "para_id", "line_id"])
+            .select(
+                "url", "block_id", "para_id", "line_id",
+                F.col("t.word_id").alias("word_id"),
+                F.col("t.symbol_id").alias("symbol_id"),
+                F.substring(
+                    F.col("l.line_text"),
+                    F.col("t.bbox.x0") + 1,
+                    F.col("t.bbox.x1") - F.col("t.bbox.x0"),
+                ).alias("content"),
+                F.col("t.text").alias("text"),
+            )
+        )
+
+    def oem(self) -> int:
+        """Engine-mode getter (tesserocr/tesserocr.pyx:2644-2646)."""
+        return self.config.oem
+
+    def clear_persistent_cache(self) -> None:
+        """ClearPersistentCache (tesserocr/tesserocr.pyx:1241-1243)."""
+        self.spark.catalog.clearCache()
+
     def get_available_languages(self) -> list[str]:
         return list(AVAILABLE_LANGUAGES)
 

@@ -55,7 +55,8 @@ def pages_from_documents(
     whole extraction would run serially in one task.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = docs.repartition(partitions or spark.sparkContext.defaultParallelism)
+    # 4x cores: several task waves so one slow task doesn't gate the stage
+    docs = docs.repartition(partitions or spark.sparkContext.defaultParallelism * 4)
     lang_map = F.create_map(*[F.lit(x) for kv in _LANG3.items() for x in kv])
     return docs.select(
         F.concat(
@@ -73,6 +74,32 @@ def pages_from_documents(
                  F.lit(" terms privacy")).alias("text"),
         F.coalesce(lang_map[F.col("lang")], F.lit("eng")).alias("lang"),
     )
+
+
+def pages_from_files(spark: SparkSession, path: str, lang: str = "eng") -> DataFrame:
+    """SetImageFile / file_to_text ingestion (tesserocr/tesserocr.pyx:1803-1825,
+    2735-2779): scan raw HTML files with the binaryFile source into the pages
+    schema — url = file path, warc_ts = modification time."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(lang).alias("lang"),
+    )
+
+
+def file_to_text(spark: SparkSession, path: str, lang: str = "eng",
+                 psm: int | None = None) -> DataFrame:
+    """file_to_text one-shot helper (tesserocr/tesserocr.pyx:2735-2779):
+    path glob -> (url, extracted_text)."""
+    from .api import extract_text_only
+    from .config import ExtractorConfig
+    from .constants import PSM
+
+    cfg = ExtractorConfig(lang=lang, psm=PSM.AUTO if psm is None else psm)
+    return extract_text_only(pages_from_files(spark, path, lang), cfg)
 
 
 # ---------------------------------------------------------------------------
