@@ -1,0 +1,90 @@
+"""spark-submit job entry point (north_rule: ships via --py-files).
+
+Usage:
+  spark-submit --py-files tesserocr_spark.zip -m tesserocr_spark \\
+      --input <pages parquet/glob> --output <outputbase> \\
+      [--synthetic N] [--psm 3] [--lang eng] [--formats txt,tsv] \\
+      [--buckets 64] [--no-resume] [--timeout-ms 0]
+
+Reads the pages table (or generates the seeded synthetic corpus with
+--synthetic), runs the extraction pipeline with checkpoint resume, writes
+docs + lineage + enabled renderer sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tesserocr_spark")
+    ap.add_argument("--input", help="pages parquet path/glob")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N seeded synthetic pages instead of --input")
+    ap.add_argument("--output", required=True, help="outputbase for docs/lineage/sinks")
+    ap.add_argument("--psm", type=int, default=3)
+    ap.add_argument("--lang", default="eng")
+    ap.add_argument("--formats", default="txt",
+                    help="comma list: txt,tsv,hocr,box,unlv")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--timeout-ms", type=int, default=0,
+                    help="per-document extraction budget (0 = unbounded)")
+    ap.add_argument("--variables", default="",
+                    help="comma list of name=value extractor variables")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("tesserocr_spark_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from tesserocr_spark.config import ExtractorConfig
+    from tesserocr_spark.jobs import process_pages
+    from tesserocr_spark.pages import synthetic_pages
+
+    variables = {"tessedit_create_txt": "0"}
+    for fmt in args.formats.split(","):
+        fmt = fmt.strip()
+        if fmt:
+            key = "tessedit_write_unlv" if fmt == "unlv" else f"tessedit_create_{fmt}"
+            if fmt == "box":
+                key = "tessedit_create_boxfile"
+            variables[key] = "1"
+    for kv in args.variables.split(","):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            variables[k.strip()] = v
+    cfg = ExtractorConfig(lang=args.lang, psm=args.psm, variables=variables)
+
+    if args.synthetic:
+        pages = synthetic_pages(spark, args.synthetic)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    result = process_pages(
+        pages,
+        args.output,
+        cfg,
+        n_buckets=args.buckets,
+        timeout_ms_per_doc=args.timeout_ms,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

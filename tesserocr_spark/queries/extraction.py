@@ -209,6 +209,65 @@ def tsv_word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fold_from_spans",
+    oracle=f"WITH {SQL_PAGES} SELECT url, norm || chr(10) AS text FROM pages",
+)
+def fold_from_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetUTF8Text reconstructed ENTIRELY in Spark SQL from WORD spans (the
+    cross-path equivalence oracle, reference tests/test_api.py:104-117):
+    blanks-joined words -> line strings -> '\\n'-joined paras + terminator ->
+    blank-line-joined document. Must byte-match both the UDF text and the
+    closed-form SQL oracle."""
+    words = spans_long(docs_for(spark, sf_dir)).filter(
+        (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+    )
+    lines = (
+        words.withColumn("piece", F.concat(F.repeat(F.lit(" "), F.col("blanks")), "text"))
+        .groupBy("url", "block_id", "para_id", "line_id")
+        .agg(
+            F.concat_ws(
+                "", F.sort_array(F.collect_list(F.struct("word_id", "piece"))).getField("piece")
+            ).alias("line")
+        )
+    )
+    paras = lines.groupBy("url", "block_id", "para_id").agg(
+        F.concat_ws(
+            "\n", F.sort_array(F.collect_list(F.struct("line_id", "line"))).getField("line")
+        ).alias("para")
+    )
+    return paras.groupBy("url").agg(
+        F.concat(
+            F.concat_ws(
+                "\n\n",
+                F.sort_array(F.collect_list(F.struct("block_id", "para_id", "para"))
+                             ).getField("para"),
+            ),
+            F.lit("\n"),
+        ).alias("text")
+    )
+
+
+@query(
+    "blanks_before_word",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, pos, CAST(CASE WHEN pos = 0 THEN 0 ELSE 1 END AS INT) AS blanks
+FROM words""",
+)
+def blanks_before_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlanksBeforeWord (tesserocr/tesserocr.pyx:965-968): 0 at line start,
+    1 otherwise — the law behind the byte-identity fold
+    (reference fixture tests/test_api.py:217-223)."""
+    sl = spans_long(docs_for(spark, sf_dir)).filter(
+        (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+    )
+    w = Window.partitionBy("url").orderBy("block_id", "para_id", "line_id", "word_id")
+    return sl.select(
+        "url", (F.row_number().over(w) - 1).alias("pos"),
+        F.col("blanks").cast("int").alias("blanks"),
+    )
+
+
+@query(
     "word_attributes",
     oracle=f"""WITH {SQL_WORDS}
 SELECT url, pos, word,

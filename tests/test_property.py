@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the extraction laws hold for arbitrary
+generated HTML, not just the curated corpus."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tesserocr_spark import PSM, RIL, ExtractorConfig
+from tesserocr_spark.core import Extractor, fold_spans
+
+_EX = Extractor()
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           max_codepoint=0x24F),
+    min_size=1, max_size=10,
+)
+sentences = st.lists(words, min_size=1, max_size=8).map(lambda ws: " ".join(ws) + ".")
+paragraphs = st.lists(sentences, min_size=1, max_size=4).map(" ".join)
+
+inline = st.sampled_from(["", "<b>{}</b>", "<i>{}</i>", "<sup>{}</sup>", "<a href='#'>{}</a>"])
+
+
+@st.composite
+def html_docs(draw):
+    parts = ["<html><body>"]
+    if draw(st.booleans()):
+        links = draw(st.lists(words, min_size=1, max_size=5))
+        parts.append("<nav>" + " ".join(f"<a href='#'>{w}</a>" for w in links) + "</nav>")
+    parts.append("<main>")
+    for _ in range(draw(st.integers(1, 4))):
+        body = draw(paragraphs)
+        wrap = draw(inline)
+        if wrap:
+            body = wrap.format(body.split(" ")[0]) + " " + body
+        parts.append(f"<p>{body}</p>")
+    if draw(st.booleans()):
+        parts.append("<figure><img src='x'></figure>")
+    parts.append("</main>")
+    if draw(st.booleans()):
+        parts.append("<footer>foot note</footer>")
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+@given(html_docs())
+@settings(max_examples=60, deadline=None)
+def test_fold_equals_text(html):
+    d = _EX.extract(html)
+    assert fold_spans(d.spans) == d.text
+
+
+@given(html_docs())
+@settings(max_examples=60, deadline=None)
+def test_text_fast_path_equals_full(html):
+    assert _EX.extract_text(html) == _EX.extract(html).text
+
+
+@given(html_docs())
+@settings(max_examples=40, deadline=None)
+def test_reading_order_and_envelopes(html):
+    d = _EX.extract(html)
+    keys = [(s.block_id, s.para_id, s.line_id, s.word_id, s.symbol_id, s.level)
+            for s in d.spans]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+    parents = {(s.level, s.block_id, s.para_id, s.line_id, s.word_id): s
+               for s in d.spans}
+    for s in d.spans:
+        if s.level == RIL.BLOCK:
+            continue
+        pk = {
+            RIL.PARA: (RIL.BLOCK, s.block_id, -1, -1, -1),
+            RIL.TEXTLINE: (RIL.PARA, s.block_id, s.para_id, -1, -1),
+            RIL.WORD: (RIL.TEXTLINE, s.block_id, s.para_id, s.line_id, -1),
+            RIL.SYMBOL: (RIL.WORD, s.block_id, s.para_id, s.line_id, s.word_id),
+        }[s.level]
+        p = parents[pk]
+        assert p.bbox[0] <= s.bbox[0] and p.bbox[1] <= s.bbox[1]
+        assert p.bbox[2] >= s.bbox[2] and p.bbox[3] >= s.bbox[3]
+
+
+@given(html_docs())
+@settings(max_examples=40, deadline=None)
+def test_symbols_concat_and_confidence_law(html):
+    from tesserocr_spark.core import word_conf
+
+    d = _EX.extract(html)
+    words_, syms = {}, {}
+    for s in d.spans:
+        k = (s.block_id, s.para_id, s.line_id, s.word_id)
+        if s.level == RIL.WORD and s.text is not None:
+            words_[k] = s
+        elif s.level == RIL.SYMBOL:
+            syms.setdefault(k, []).append((s.symbol_id, s.text))
+    for k, w in words_.items():
+        assert "".join(t for _, t in sorted(syms[k])) == w.text
+        assert w.conf == word_conf(w.text)
+
+
+@given(html_docs())
+@settings(max_examples=30, deadline=None)
+def test_auto_text_is_subset_of_single_column(html):
+    """Boilerplate stripping only removes; it never invents content."""
+    auto_words = set(_EX.extract_text(html).split())
+    allw = set(
+        Extractor(ExtractorConfig(psm=PSM.SINGLE_COLUMN)).extract_text(html).split()
+    )
+    assert auto_words <= allw
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_never_raises_on_garbage(data):
+    """Malformed bytes degrade to (possibly empty) text, never an exception."""
+    d = _EX.extract(data)
+    assert fold_spans(d.spans) == d.text
