@@ -55,7 +55,7 @@ def ensure_pages(spark, n: int, cpus: int) -> str:
     # fixed 128-way layout regardless of cpus: 4 waves of tasks at 32 cores
     # (task-size balancing — a single wave of core-count tasks is gated by
     # its slowest task), identical input files for every parallelism level.
-    path = f"/tmp/tesserocr_spark_bench_pages_{n}_p128"
+    path = f"/tmp/tesserocr_spark_bench_pages_{n}_p128_v2"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         from tesserocr_spark.pages import synthetic_pages

@@ -135,10 +135,14 @@ def process_pages(
     docs = todo.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
     docs = docs.persist()
     try:
-        docs.write.mode("append").partitionBy("bucket").parquet(docs_path)
-        lineage_rows(docs).write.mode("append").parquet(lineage_path)
-        renderers = write_renderers(docs, outputbase, cfg)
         n_docs = docs.count()
+        renderers: dict[str, str] = {}
+        if n_docs:
+            docs.write.mode("append").partitionBy("bucket").parquet(docs_path)
+            lineage_rows(docs).write.mode("append").parquet(lineage_path)
+            renderers = write_renderers(docs, outputbase, cfg)
+        # n_docs == 0: fully resumed — leave prior sinks untouched (a rerun
+        # with no remaining work must not clobber renderer output)
     finally:
         docs.unpersist()
     return {

@@ -144,6 +144,17 @@ def make_page(i: int, seed: int = 42) -> tuple[str, pd.Timestamp, bytes, str, st
         return url, ts, b"<p>unclosed <b>bold <i>nest", "unclosed bold nest", lang
     if kind == 83:
         return url, ts, b"x", "x", lang
+    if kind == 91:
+        # heavy-tail page (~30 KB): exercises size skew + the batch deadline
+        big = "".join(
+            f"<p>{' '.join(_WORDS[_rnd(seed, i, f'big:{p}:{k}') % len(_WORDS)] for k in range(40))}.</p>"
+            for p in range(120)
+        )
+        html = f"<html><body><main>{big}</main></body></html>"
+        import re as _re
+
+        visible = _re.sub(r"\s+", " ", _re.sub(r"<[^>]+>", " ", html)).strip()
+        return url, ts, html.encode(), visible, lang
 
     def words(n: int, salt: str) -> str:
         return " ".join(
