@@ -39,6 +39,13 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone for oracle comparability (DuckDB timestamps
+    are UTC-naive). Runtime-mutable conf, safe to set from query builders."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 #: memoized extraction results per sf_dir (the multi-query persist tactic).
 _DOCS_CACHE: dict[tuple, DataFrame] = {}
 
@@ -51,7 +58,7 @@ def docs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     df = _DOCS_CACHE.get(key)
     if df is None:
-        df = extract_pages(pages_from_documents(spark, sf_dir)).persist()
+        df = extract_pages(pages_from_documents(ensure_utc(spark), sf_dir)).persist()
         _DOCS_CACHE[key] = df
     return df
 

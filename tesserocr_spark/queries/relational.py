@@ -18,7 +18,9 @@ from .registry import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .registry import ensure_utc
+
+    return ensure_utc(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 @query(

@@ -112,6 +112,18 @@ class TestJobs:
         assert res2["n_docs"] == 0
         assert res2["skipped_buckets"] == lineage.select("bucket").distinct().count()
 
+    def test_fully_resumed_rerun_preserves_sinks(self, spark, tmp_path):
+        """A rerun with zero remaining work must not clobber renderer output
+        (regression: empty frame used to overwrite the txt sink)."""
+        base = str(tmp_path / "noclobber")
+        pages = synthetic_pages(spark, 30)
+        res1 = process_pages(pages, base, n_buckets=8)
+        n_before = spark.read.text(res1["renderers"]["txt"]).count()
+        assert n_before == 30
+        res2 = process_pages(pages, base, n_buckets=8)
+        assert res2["n_docs"] == 0 and res2["renderers"] == {}
+        assert spark.read.text(res1["renderers"]["txt"]).count() == n_before
+
     def test_resume_partial(self, spark, tmp_path):
         """Simulate a failed run: lineage for only some buckets -> resume
         processes exactly the complement."""
