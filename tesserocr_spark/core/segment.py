@@ -35,6 +35,21 @@ _VOID_TAGS = frozenset("br img hr meta link input area base col embed source tra
 _WS_RE = re.compile(r"\s+")
 _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
 
+#: sentinel style marking an explicit <br> fragment (data that merely
+#: *contains* a newline is ordinary whitespace, not a line break)
+_BR_STYLE = -1
+
+#: shared all-zero char-flag tuples keyed by word length (allocation saver)
+_ZERO_CACHE: dict[int, tuple] = {}
+
+
+def _zeros(n: int) -> tuple:
+    t = _ZERO_CACHE.get(n)
+    if t is None:
+        t = (0,) * n
+        _ZERO_CACHE[n] = t
+    return t
+
 
 class Fragment:
     """One run of character data with its inline context.
@@ -118,7 +133,7 @@ class _Segmenter(HTMLParser):
     def handle_starttag(self, tag: str, attrs: list) -> None:
         if tag == "br":
             if self._current is not None:
-                self._current.frags.append(Fragment("\n", False, 0))
+                self._current.frags.append(Fragment("\n", False, _BR_STYLE))
             return
         if tag in ("img", "hr"):
             self._flush()
@@ -232,10 +247,24 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
     flags bitfield: 1=superscript, 2=subscript (from <sup>/<sub>,
     reference symbol attributes tesserocr/tesserocr.pyx:1018-1040).
     """
+    # fast path: no <br>, every fragment unstyled (the overwhelmingly common
+    # case for web text) — pure regex split, no per-char bookkeeping
+    if all(f.style == 0 for f in para.frags):
+        lines: list[list[tuple[str, int, tuple]]] = []
+        cur: list[tuple[str, int, tuple]] = []
+        for w in " ".join(f.text for f in para.frags).split():
+            cur.append((w, 0, _zeros(len(w))))
+            if w[-1] in ".!?…" and len(w) > 1:
+                lines.append(cur)
+                cur = []
+        if cur:
+            lines.append(cur)
+        return lines
+
     # build one string per <br>-separated segment, tracking per-char flags
     segments: list[list[tuple[str, int]]] = [[]]  # list of (char, style)
     for f in para.frags:
-        if f.text == "\n" and not f.link:
+        if f.style == _BR_STYLE:
             segments.append([])
             continue
         fl = f.style
