@@ -31,10 +31,43 @@ def extract_pages(
     config: ExtractorConfig | None = None,
     timeout_ms_per_doc: int = 0,
 ) -> DataFrame:
-    """pages -> docs: adds extracted_text, spans, osd, metrics (Recognize)."""
-    udf = make_extract_udf(config, timeout_ms_per_doc)
+    """pages -> docs: adds extracted_text, spans, osd, metrics (Recognize).
+
+    Transport: the UDF ships spans as parallel primitive arrays (Arrow loves
+    flat arrays; array<struct> through the Python boundary measured ~1.6x
+    slower end-to-end) and the nested ``spans`` column is rebuilt JVM-side
+    with two codegen'd arrays_zip calls — public schema unchanged.
+    """
+    from .udf import make_extract_columns_udf
+
+    udf = make_extract_columns_udf(config, timeout_ms_per_doc)
     keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
-    return pages.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
+    cols = pages.select(*keep, udf(F.col("html")).alias("r"))
+    bbox_arr = F.arrays_zip(
+        F.col("r.x0").alias("x0"), F.col("r.y0").alias("y0"),
+        F.col("r.x1").alias("x1"), F.col("r.y1").alias("y1"),
+    )
+    spans = F.arrays_zip(
+        F.col("r.level").alias("level"),
+        F.col("r.block_id").alias("block_id"),
+        F.col("r.para_id").alias("para_id"),
+        F.col("r.line_id").alias("line_id"),
+        F.col("r.word_id").alias("word_id"),
+        F.col("r.symbol_id").alias("symbol_id"),
+        F.col("r.block_type").alias("block_type"),
+        F.col("r.s_text").alias("text"),
+        F.col("r.s_conf").alias("conf"),
+        F.col("r.blanks").alias("blanks"),
+        bbox_arr.alias("bbox"),
+        F.col("r.flags").alias("flags"),
+    )
+    return cols.select(
+        *keep,
+        F.col("r.extracted_text").alias("extracted_text"),
+        spans.alias("spans"),
+        F.col("r.osd").alias("osd"),
+        F.col("r.metrics").alias("metrics"),
+    )
 
 
 def extract_text_only(

@@ -74,6 +74,24 @@ EXTRACT_RESULT_SCHEMA = T.StructType([
     T.StructField("metrics", METRICS_SCHEMA, True),
 ])
 
+#: columnar transport schema of the extraction UDF: spans travel as parallel
+#: primitive arrays (one per span field) and are re-zipped into the nested
+#: array<struct> JVM-side with arrays_zip — ~1.6-1.8x cheaper end-to-end than
+#: shipping array<struct> through Arrow (measured; see api.extract_pages).
+EXTRACT_COLUMNS_SCHEMA = T.StructType([
+    T.StructField("extracted_text", T.StringType(), True),
+    *[
+        T.StructField(n, T.ArrayType(T.IntegerType()), True)
+        for n in ("level", "block_id", "para_id", "line_id", "word_id",
+                  "symbol_id", "block_type", "blanks", "x0", "y0", "x1", "y1",
+                  "flags")
+    ],
+    T.StructField("s_text", T.ArrayType(T.StringType()), True),
+    T.StructField("s_conf", T.ArrayType(T.DoubleType()), True),
+    T.StructField("osd", OSD_SCHEMA, True),
+    T.StructField("metrics", METRICS_SCHEMA, True),
+])
+
 #: flat exploded-spans schema — the hot path for corpus-scale span queries:
 #: emitted directly by a mapInPandas kernel as columnar arrays (no nested
 #: structs through Arrow, no per-span dicts anywhere).

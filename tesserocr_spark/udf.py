@@ -90,6 +90,53 @@ def make_extract_udf(
     return extract
 
 
+_COL_NAMES = ("extracted_text", "level", "block_id", "para_id", "line_id",
+              "word_id", "symbol_id", "block_type", "blanks", "x0", "y0",
+              "x1", "y1", "flags", "s_text", "s_conf", "osd", "metrics")
+
+_EMPTY_COLS = ((),) * 13  # level..flags for a span-less document
+
+
+def make_extract_columns_udf(
+    config: ExtractorConfig | None = None,
+    timeout_ms_per_doc: int = 0,
+):
+    """Scalar Arrow pandas_udf: html -> EXTRACT_COLUMNS_SCHEMA (columnar
+    span transport — see schemas.EXTRACT_COLUMNS_SCHEMA). Used by
+    ``api.extract_pages``, which re-zips the arrays into the public nested
+    ``spans`` column JVM-side."""
+    from .schemas import EXTRACT_COLUMNS_SCHEMA
+
+    cfg = config or DEFAULT_CONFIG
+
+    @F.pandas_udf(EXTRACT_COLUMNS_SCHEMA)
+    def extract_cols(html: pd.Series) -> pd.DataFrame:
+        ex = _extractor_for(cfg)
+        n = len(html)
+        deadline = (
+            time.monotonic() + (timeout_ms_per_doc / 1000.0) * n
+            if timeout_ms_per_doc > 0 else None
+        )
+        rows = []
+        for raw in html:
+            if deadline is not None and time.monotonic() > deadline:
+                rows.append((None,) + ((),) * 15 + (None, None))
+                continue
+            d = ex.extract(raw)
+            if d.spans:
+                (level, bid, pid, lid, wid, sid, bt, text, conf, blanks,
+                 bbox, flags) = zip(*d.spans)
+                x0, y0, x1, y1 = zip(*bbox)
+                cols = (level, bid, pid, lid, wid, sid, bt, blanks,
+                        x0, y0, x1, y1, flags, text, conf)
+            else:
+                cols = _EMPTY_COLS + ((), ())
+            rows.append((d.text, *cols, d.osd, d.metrics))
+        return pd.DataFrame(rows, columns=list(_COL_NAMES))
+
+    return extract_cols
+
+
 def make_spans_long_kernel(
     config: ExtractorConfig | None = None,
 ):
