@@ -41,7 +41,7 @@ def extract_pages(
     from .udf import make_extract_columns_udf
 
     udf = make_extract_columns_udf(config, timeout_ms_per_doc)
-    keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
+    keep = [c for c in ("url", "warc_ts", "lang", "bucket") if c in pages.columns]
     cols = pages.select(*keep, udf(F.col("html")).alias("r"))
     bbox_arr = F.arrays_zip(
         F.col("r.x0").alias("x0"), F.col("r.y0").alias("y0"),
@@ -157,12 +157,8 @@ class SparkPageAPI:
         if self._pages is None:
             raise RuntimeError("no pages bound; call set_pages() first")
         if self._docs is None:
-            from .udf import make_extract_udf
-
-            udf = make_extract_udf(self.config, timeout_ms_per_doc)
             keep = [c for c in ("url", "warc_ts", "lang") if c in self._pages.columns]
-            expr = udf(F.col("html")).alias("res")
-            docs = self._pages.select(*keep, expr).select(*keep, "res.*")
+            docs = extract_pages(self._pages, self.config, timeout_ms_per_doc)
             if self._region is not None:
                 # region re-extraction: filter word spans by the rectangle in
                 # the *original* geometry is done inside the core; here we

@@ -112,8 +112,8 @@ def process_pages(
     Returns {"docs": path, "lineage": path, "renderers": {...},
     "n_docs": int, "skipped_buckets": int}.
     """
+    from .api import extract_pages
     from .sinks import write_renderers
-    from .udf import make_extract_udf
 
     spark = pages.sparkSession
     cfg = config or DEFAULT_CONFIG
@@ -130,10 +130,7 @@ def process_pages(
     n_part = max(spark.sparkContext.defaultParallelism, 1)
     todo = salted_repartition(todo, n_part)
 
-    udf = make_extract_udf(cfg, timeout_ms_per_doc)
-    keep = [c for c in ("url", "warc_ts", "lang", "bucket") if c in todo.columns]
-    docs = todo.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
-    docs = docs.persist()
+    docs = extract_pages(todo, cfg, timeout_ms_per_doc).persist()
     try:
         n_docs = docs.count()
         renderers: dict[str, str] = {}
