@@ -109,21 +109,43 @@ def main() -> None:
 
     runs8: list[dict] = []
     runs32: list[dict] = []
+    ceils8: list[dict] = []
+    ceils32: list[dict] = []
+    norm_samples: dict[str, list[float]] = {"text": [], "full": []}
     for i in range(rounds):
-        runs8.append(run_bench(8, n_pages, sf_dir, pin=True))
-        runs32.append(run_bench(32, n_pages, sf_dir, pin=False))
-        print(f"round {i}: 8={runs8[-1]['docs_per_sec_text']} "
-              f"32={runs32[-1]['docs_per_sec_text']} (text docs/s)", flush=True)
+        # pair ceiling and Spark measurements within the round so the
+        # noisy-VM drift cancels in the per-round ratio
+        c8i = machine_ceiling(8, min(n_pages, 64000), pin=True)
+        r8i = run_bench(8, n_pages, sf_dir, pin=True)
+        c32i = machine_ceiling(32, min(n_pages, 64000), pin=False)
+        r32i = run_bench(32, n_pages, sf_dir, pin=False)
+        runs8.append(r8i)
+        runs32.append(r32i)
+        ceils8.append(c8i)
+        ceils32.append(c32i)
+        for path, key in (("text", "docs_per_sec_text"), ("full", "docs_per_sec_full")):
+            norm_samples[path].append(
+                (r32i[key] / c32i[path]) / (r8i[key] / c8i[path])
+            )
+        print(f"round {i}: 8={r8i['docs_per_sec_text']} "
+              f"32={r32i['docs_per_sec_text']} (text docs/s); "
+              f"norm text={norm_samples['text'][-1]:.3f} "
+              f"full={norm_samples['full'][-1]:.3f}", flush=True)
     r8, r32 = merge_best(runs8), merge_best(runs32)
-    c8 = machine_ceiling(8, min(n_pages, 64000), pin=True)
-    c32 = machine_ceiling(32, min(n_pages, 64000), pin=False)
+    c8 = {k: max(c[k] for c in ceils8) for k in ("text", "full")}
+    c32 = {k: max(c[k] for c in ceils32) for k in ("text", "full")}
+
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
     eff_text = (r32["docs_per_sec_text"] / r8["docs_per_sec_text"]) / 4
     eff_full = (r32["docs_per_sec_full"] / r8["docs_per_sec_full"]) / 4
     ceil_eff_text = (c32["text"] / c8["text"]) / 4
     ceil_eff_full = (c32["full"] / c8["full"]) / 4
-    norm_text = eff_text / ceil_eff_text if ceil_eff_text else float("nan")
-    norm_full = eff_full / ceil_eff_full if ceil_eff_full else float("nan")
+    norm_text = median(norm_samples["text"])
+    norm_full = median(norm_samples["full"])
 
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling evidence",
@@ -159,14 +181,12 @@ def main() -> None:
         "by the ceiling at each level:",
         "",
         "| path | mp ceiling @8 | mp ceiling @32 | host ceiling eff | "
-        "Spark/ceiling @8 | Spark/ceiling @32 | **engine eff (normalized)** |",
-        "|---|---|---|---|---|---|---|",
+        "**engine eff (median of per-round normalized ratios)** |",
+        "|---|---|---|---|---|",
         f"| text-only | {c8['text']:.0f} | {c32['text']:.0f} | {ceil_eff_text:.3f} "
-        f"| {r8['docs_per_sec_text'] / c8['text']:.2f} "
-        f"| {r32['docs_per_sec_text'] / c32['text']:.2f} | **{norm_text:.3f}** |",
+        f"| **{norm_text:.3f}** (samples {[round(x, 3) for x in norm_samples['text']]}) |",
         f"| full spans | {c8['full']:.0f} | {c32['full']:.0f} | {ceil_eff_full:.3f} "
-        f"| {r8['docs_per_sec_full'] / c8['full']:.2f} "
-        f"| {r32['docs_per_sec_full'] / c32['full']:.2f} | **{norm_full:.3f}** |",
+        f"| **{norm_full:.3f}** (samples {[round(x, 3) for x in norm_samples['full']]}) |",
         "",
         "Gate: scaling efficiency ≥ 0.8 between cluster sizes N and 4N "
         "(BASELINE.json north_rule) — evidenced by the ceiling-normalized "

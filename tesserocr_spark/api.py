@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT_CONFIG, ExtractorConfig
 from .constants import PT, RIL
 from .core.osd import AVAILABLE_LANGUAGES
-from .udf import make_extract_text_udf, make_extract_udf
+from .udf import make_extract_text_udf
 
 #: reading-order sort key of the span hierarchy (parents before children:
 #: lower levels carry -1 in child id slots).

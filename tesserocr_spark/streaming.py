@@ -32,12 +32,10 @@ def extract_stream(
     pages: DataFrame,
     config: ExtractorConfig | None = None,
 ) -> DataFrame:
-    """Streaming extraction: same UDF, same schema as the batch path."""
-    from .udf import make_extract_udf
+    """Streaming extraction: literally the batch operator on a streaming frame."""
+    from .api import extract_pages as _extract
 
-    udf = make_extract_udf(config or DEFAULT_CONFIG)
-    keep = [c for c in ("url", "warc_ts", "lang") if c in pages.columns]
-    return pages.select(*keep, udf(F.col("html")).alias("res")).select(*keep, "res.*")
+    return _extract(pages, config or DEFAULT_CONFIG)
 
 
 def start_extraction_stream(

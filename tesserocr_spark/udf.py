@@ -6,17 +6,21 @@ is a per-Python-worker lazy singleton keyed by config, reused across Arrow
 batches. Everything else (projections, aggregations, joins, windows) stays
 JVM-side.
 
-Two UDFs:
+The UDF surface:
 
-* ``make_extract_udf``      — full result: struct(extracted_text, spans,
-                              osd, metrics). The Recognize analogue
-                              (tesserocr/tesserocr.pyx:2136-2163).
+* ``make_extract_columns_udf`` — the production transport: spans travel as
+  parallel primitive arrays and ``api.extract_pages`` re-zips them JVM-side
+  (measured ~1.6× faster end-to-end than array<struct> through Arrow).
+  The Recognize analogue (tesserocr/tesserocr.pyx:2136-2163).
+* ``make_extract_udf`` — same result as one nested struct column; the
+  simple/reference transport, kept for direct use and tests.
+* ``make_spans_long_kernel`` — mapInPandas kernel emitting flat exploded
+  span rows (the corpus-scale span-analytics path, no nesting at all).
 * ``make_extract_text_udf`` — text-only fast path (image_to_text,
-                              tesserocr/tesserocr.pyx:2683-2732); skips span
-                              materialization, ~3-5× cheaper — use it when
-                              the query only needs ``extracted_text`` (the
-                              layout-only/column-pruning tactic the optimizer
-                              cannot see across the Python boundary).
+  tesserocr/tesserocr.pyx:2683-2732); skips span materialization entirely —
+  use it when the query only needs ``extracted_text`` (the layout-only/
+  column-pruning tactic the optimizer cannot see across the Python
+  boundary).
 
 A per-batch wall-clock budget mirrors Recognize's ETEXT_DESC deadline
 (tesserocr/tesserocr.pyx:2150-2161): documents starting after the budget is
