@@ -103,6 +103,12 @@ def main() -> None:
     timed("extract_text", lambda: _noop(extract_text_only(pages)))
     timed("extract_full", lambda: _noop(extract_pages(pages, nosym)))
     timed(
+        "extract_flat",
+        lambda: _noop(
+            extract_spans_long(pages, nosym).groupBy("level").count()
+        ),
+    )
+    timed(
         "spans_agg",
         lambda: _noop(
             extract_spans_long(pages_from_documents(spark, sf_dir))
@@ -117,6 +123,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_pages / timings["extract_text"], 1)
     docs_per_sec_full = round(n_pages / timings["extract_full"], 1)
+    docs_per_sec_flat = round(n_pages / timings["extract_flat"], 1)
     print(
         json.dumps(
             {
@@ -129,6 +136,7 @@ def main() -> None:
                 "bench_pages": n_pages,
                 "docs_per_sec_text": docs_per_sec,
                 "docs_per_sec_full": docs_per_sec_full,
+                "docs_per_sec_flat": docs_per_sec_flat,
             }
         )
     )
