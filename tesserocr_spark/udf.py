@@ -15,7 +15,9 @@ The UDF surface:
 * ``make_extract_udf`` — same result as one nested struct column; the
   simple/reference transport, kept for direct use and tests.
 * ``make_spans_long_kernel`` — mapInPandas kernel emitting flat exploded
-  span rows (the corpus-scale span-analytics path, no nesting at all).
+  span rows from Python. Kept for reference: measured 1.7x SLOWER than the
+  columnar transport + JVM posexplode plan that ``api.extract_spans_long``
+  uses (per-span rows through Arrow cost more than per-document arrays).
 * ``make_extract_text_udf`` — text-only fast path (image_to_text,
   tesserocr/tesserocr.pyx:2683-2732); skips span materialization entirely —
   use it when the query only needs ``extracted_text`` (the layout-only/
@@ -146,9 +148,10 @@ def make_spans_long_kernel(
 ):
     """mapInPandas kernel: (url, html, ...) batches -> flat SPANS_LONG rows.
 
-    The scale path for span queries: spans cross the Arrow boundary as
-    columnar primitive arrays (zip-transposed tuples), never as per-span
-    dicts/structs — an order of magnitude cheaper than the nested column.
+    NOTE: reference implementation only — ``api.extract_spans_long`` ships
+    per-document columnar arrays and explodes JVM-side instead, which
+    measures 1.7x faster end-to-end (row-per-span through Arrow is the
+    expensive part, not the nesting).
     """
     cfg = config or DEFAULT_CONFIG
 
