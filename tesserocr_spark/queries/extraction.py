@@ -310,6 +310,58 @@ def charset_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charset_table(spans_long(docs_for(spark, sf_dir)))
 
 
+@query(
+    "thresholded_text",
+    oracle=f"""WITH {SQL_PAGES}
+SELECT url,
+       'home about' || chr(10) || chr(10) || norm || chr(10) || chr(10)
+       || 'terms privacy' || chr(10) AS thresholded_text
+FROM pages""",
+)
+def thresholded_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetThresholdedImage analogue (tesserocr/tesserocr.pyx:1849-1862):
+    PSM.SINGLE_COLUMN — all visible text normalized with boilerplate KEPT
+    (nav + main + footer of the frozen template) — byte-checked end to end."""
+    from ..api import extract_text_only
+    from ..config import ExtractorConfig
+    from ..constants import PSM
+    from ..pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    cfg = ExtractorConfig(psm=PSM.SINGLE_COLUMN)
+    return extract_text_only(pages, cfg).select(
+        "url", F.col("extracted_text").alias("thresholded_text")
+    )
+
+
+@query(
+    "tesseract_rect",
+    oracle=f"""WITH {SQL_WORDS},
+placed AS (
+  SELECT url, pos, word,
+         CAST(coalesce(sum(length(word) + 1) OVER (
+              PARTITION BY url ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + length(word) AS INT) AS x1
+  FROM words
+)
+SELECT p.url,
+       coalesce(k.text, '') AS text
+FROM pages p LEFT JOIN (
+  SELECT url, string_agg(word, ' ' ORDER BY pos) || chr(10) AS text
+  FROM placed WHERE x1 <= 40 GROUP BY url
+) k ON k.url = p.url""",
+)
+def tesseract_rect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TesseractRect (tesserocr/tesserocr.pyx:1670-1712): fused one-shot
+    extraction restricted to char-grid columns [0, 40) of row 0 — words whose
+    boxes fit entirely inside; empty restriction yields empty text."""
+    from ..api import tesseract_rect
+    from ..pages import pages_from_documents
+
+    return tesseract_rect(pages_from_documents(spark, sf_dir), 0, 0, 40, 1)
+
+
 @query("extract_full")  # rows-only: full struct over the seeded synthetic corpus
 def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction struct over the richer synthetic corpus (multi-para,
