@@ -81,6 +81,9 @@ def main() -> None:
 
     pages_path = ensure_pages(spark, n_pages, cpus)
     pages = spark.read.parquet(pages_path)
+    total_bytes = pages.select(
+        F.sum(F.length("html")).alias("b")
+    ).collect()[0].b
     # discarded warm-up run (BASELINE.md protocol): spins up the Python
     # workers (imports amortize across the whole job on a real cluster) and
     # warms the OS page cache so both parallelism levels start equal.
@@ -137,6 +140,10 @@ def main() -> None:
                 "docs_per_sec_text": docs_per_sec,
                 "docs_per_sec_full": docs_per_sec_full,
                 "docs_per_sec_flat": docs_per_sec_flat,
+                "input_bytes": int(total_bytes),
+                "mb_per_sec_text": round(
+                    total_bytes / 1e6 / timings["extract_text"], 2
+                ),
             }
         )
     )

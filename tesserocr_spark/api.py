@@ -291,6 +291,17 @@ class SparkPageAPI:
     def get_words(self) -> DataFrame:
         return self.get_component_images(RIL.WORD)
 
+    def is_within_first_textline_of_paragraph(self) -> DataFrame:
+        """IsWithinFirstTextlineOfParagraph (tesserocr/tesserocr.pyx:484-487):
+        word-level predicate — the word sits on its paragraph's first line."""
+        sl = self.get_iterator().filter(
+            (F.col("level") == RIL.WORD) & F.col("text").isNotNull()
+        )
+        return sl.select(
+            "url", "block_id", "para_id", "line_id", "word_id",
+            (F.col("line_id") == 0).alias("in_first_line"),
+        )
+
     def get_connected_components(self) -> DataFrame:
         """GetConnectedComponents (tesserocr/tesserocr.pyx:2008-2032):
         pre-recognition candidate components — the layout-only word boxes."""

@@ -133,6 +133,49 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", _lsh_bucket_expr().alias("bucket"))
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH candidates AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+),
+buckets AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM candidates
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM buckets a JOIN buckets b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: planted duplicate vectors
+    (vec_id % 9 == 0 copied at id+100000) recovered by LSH-bucket blocking +
+    exact cosine verification ≥ 0.99 — the embedding-space twin of
+    minhash-LSH dedup; the bucket join is the only shuffle."""
+    base = _emb(spark, sf_dir).select("vec_id", "e")
+    copies = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "e"
+    )
+    cand = base.unionByName(copies).withColumn("bucket", _lsh_bucket_expr())
+    a, b = cand.alias("a"), cand.alias("b")
+    cos = _dot("a.e", "b.e") / (_norm("a.e") * _norm("b.e"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )
+
+
 @query("ann_lsh_topk")  # rows-only: composition of the two oracle-checked stages
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket.

@@ -133,3 +133,37 @@ class TestMultimodal:
             per_doc.setdefault(r.doc_id, []).append(r.frame_id)
         for ids in per_doc.values():
             assert sorted(ids) == list(range(len(ids)))
+
+
+class TestEmbeddingDedup:
+    def test_planted_vector_duplicates_found(self, spark):
+        from tesserocr_spark.queries.similarity import dedup_embedding_cosine
+
+        pairs = {(r.a_id, r.b_id): r.cos
+                 for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+        planted = {
+            (r.vec_id, r.vec_id + 100000)
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .filter(F.col("vec_id") % 9 == 0).select("vec_id").collect()
+        }
+        assert planted <= set(pairs)  # identical vectors share every LSH bucket
+        for p in planted:
+            assert pairs[p] == 1.0
+
+
+class TestRoundTrip:
+    def test_docs_parquet_roundtrip(self, spark, tmp_path):
+        """Extraction results survive a parquet write/read bit-exactly
+        (the shape every downstream job consumes)."""
+        from tesserocr_spark.api import extract_pages
+        from tesserocr_spark.pages import synthetic_pages
+
+        docs = extract_pages(synthetic_pages(spark, 40))
+        path = str(tmp_path / "docs_rt")
+        docs.write.parquet(path)
+        back = spark.read.parquet(path)
+        a = {r.url: (r.extracted_text, str(r.spans), str(r.osd))
+             for r in docs.collect()}
+        b = {r.url: (r.extracted_text, str(r.spans), str(r.osd))
+             for r in back.collect()}
+        assert a == b
