@@ -19,11 +19,13 @@ from .config import DEFAULT_CONFIG, ExtractorConfig
 from .schemas import PAGES_SCHEMA
 
 
-def read_page_stream(spark: SparkSession, input_path: str) -> DataFrame:
+def read_page_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream of new page parquet files (new-snapshot analogue)."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
 
@@ -69,6 +71,47 @@ def start_extraction_stream(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
         .start()
+    )
+
+
+def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): drop
+    re-crawled urls across micro-batches — the streaming twin of the batch
+    checkpoint-resume anti-join. State per url-hash bucket is the set of
+    url hashes already extracted; only first-seen pages pass through.
+
+    At corpus scale the state is bounded per bucket and keyed exactly like
+    the batch lineage (pmod(xxhash64(url), n_buckets)), so a streaming
+    ingest and a batch backfill share one dedup law.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "bucket int, url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+    state_schema = "seen array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        bucket = key[0]
+        for pdf in pdfs:
+            pdf = pdf.drop_duplicates(subset=["url"])  # within-batch re-crawls
+            h = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
+            fresh = ~pd.Series(h).isin(seen).to_numpy()
+            seen.update(int(x) for x in h)
+            out = pdf.loc[fresh, ["url", "warc_ts", "html", "text", "lang"]].copy()
+            if len(out):
+                out.insert(0, "bucket", bucket)
+                yield out
+        state.update((list(seen),))
+
+    keyed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -93,3 +93,35 @@ def test_late_data_watermark_in_stream_plan(spark, tmp_path):
     stream = windowed_page_counts(read_page_stream(spark, src))
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: urls seen in an earlier micro-batch are
+    dropped when re-crawled in a later one."""
+    from tesserocr_spark.streaming import dedup_page_stream
+
+    src = str(tmp_path / "dedup_src")
+    base = synthetic_pages(spark, 30)
+    # batch 1: pages 0-29; batch 2 (separate file): pages 15-44 (15 repeats)
+    base.coalesce(1).write.mode("append").parquet(src)
+    part2 = synthetic_pages(spark, 45).filter(F.col("url").isin(
+        [r.url for r in synthetic_pages(spark, 45).collect()[15:]]
+    ))
+    part2.coalesce(1).write.mode("append").parquet(src)
+
+    # one file per trigger -> the repeats arrive in a LATER micro-batch and
+    # must be dropped by persisted group state, not by within-batch dedup
+    stream = dedup_page_stream(read_page_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT url FROM dedup_stream").collect()
+    urls = [r.url for r in got]
+    assert len(urls) == len(set(urls))  # no url emitted twice
+    assert len(set(urls)) == 45  # union of both crawls exactly once
