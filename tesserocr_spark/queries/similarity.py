@@ -176,6 +176,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 16      # centroid count
+_IVF_NPROBE = 2  # cells probed per query
+
+_SQL_IVF = f"""
+centroids AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, centroids c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, centroids c WHERE e.vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+"""
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"WITH {_SQL_IVF.rstrip()} SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM assigned",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment: nearest of K deterministic centroids (the first
+    K vectors stand in for k-means means — same structure, seedless). The
+    cell id is the partition key of the IVF scale path: candidate search
+    touches nprobe cells instead of the corpus."""
+    return _ivf_assign(spark, sf_dir).select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+
+
+def _argmax_cells(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    cos = _dot("e", "ce") / (_norm("e") * _norm("ce"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), "cid")
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "cid")
+    )
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _argmax_cells(_emb(spark, sf_dir), _centroids(spark, sf_dir), 1)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""WITH {_SQL_IVF.rstrip()},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cos_raw
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos_raw, 6) AS cos
+FROM (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest cells per query, exact cosine only
+    within them — candidate count scales with cell size, not corpus size;
+    the candidate join is keyed on the cell id."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    assigned = _argmax_cells(emb, cents, 1)
+    probes = _argmax_cells(
+        emb.filter(F.col("vec_id") < _N_QUERIES), cents, _IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(emb.select("vec_id", "e"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _dot("qe", "e") / (_norm("qe") * _norm("e"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        cand.withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 6).alias("cos"))
+    )
+
+
 @query("ann_lsh_topk")  # rows-only: composition of the two oracle-checked stages
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket.

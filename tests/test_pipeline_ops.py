@@ -167,3 +167,33 @@ class TestRoundTrip:
         b = {r.url: (r.extracted_text, str(r.spans), str(r.osd))
              for r in back.collect()}
         assert a == b
+
+
+class TestIVF:
+    def test_ivf_results_within_probed_cells_and_sound(self, spark):
+        from tesserocr_spark.queries.similarity import (
+            ann_bruteforce_topk,
+            ann_ivf_cells,
+            ann_ivf_topk,
+        )
+
+        cells = {r.vec_id: r.cid for r in ann_ivf_cells(spark, SF_DIR).collect()}
+        rows = ann_ivf_topk(spark, SF_DIR).collect()
+        assert rows
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            cos = [r.cos for r in rs]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r.neighbor_id != q for r in rs)
+        # IVF recall vs brute force: some overlap expected even with nprobe=2
+        exact = {}
+        for r in ann_bruteforce_topk(spark, SF_DIR).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(
+            len(exact[q] & {r.neighbor_id for r in rs}) for q, rs in by_q.items()
+        )
+        assert hits > 0
+        assert set(cells) and all(0 <= c < 16 for c in cells.values())
