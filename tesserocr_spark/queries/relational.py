@@ -321,6 +321,50 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+SELECT user_id,
+       """ + ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+    ) + """
+FROM events GROUP BY user_id""",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide per-level stats — the 'region lists as columns' shape):
+    one column per event type, Catalyst rewrites to conditional aggs."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_doc_stats",
+    oracle="""
+SELECT doc_id, 'n_chars' AS stat, CAST(n_chars AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'n_words', CAST(len(string_split(trim(text), ' ')) AS BIGINT) FROM documents""",
+)
+def unpivot_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide per-document stats to long (stat, value) rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_words"),
+    )
+    return d.selectExpr(
+        "doc_id",
+        "stack(2, 'n_chars', n_chars, 'n_words', n_words) AS (stat, value)",
+    )
+
+
 @query(
     "empty_level_predicate",
     oracle="""
