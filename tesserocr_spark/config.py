@@ -32,8 +32,14 @@ VARIABLE_DEFAULTS: dict[str, str] = {
     "tessedit_create_txt": "1",
     "tessedit_create_tsv": "0",
     "tessedit_create_hocr": "0",
+    "tessedit_create_alto": "0",
+    "tessedit_create_pdf": "0",
     "tessedit_create_boxfile": "0",
     "tessedit_write_unlv": "0",
+    # hOCR font detail (reference _get_renderer, tesserocr.pyx:2206-2208)
+    "hocr_font_info": "0",
+    # PDF text-only mode (reference :2216-2218); image underlay not carried
+    "textonly_pdf": "1",
     # separators of the GetUTF8Text fold (reference :862-870)
     "page_separator": "",
     "line_separator": "\n",

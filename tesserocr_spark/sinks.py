@@ -68,12 +68,57 @@ def _spans_format_udf(formatter):
     return fmt
 
 
-def hocr_sink(docs: DataFrame) -> DataFrame:
-    """GetHOCRText (tesserocr/tesserocr.pyx:2411-2425) per document."""
+def hocr_sink(docs: DataFrame, font_info: bool = False) -> DataFrame:
+    """GetHOCRText (tesserocr/tesserocr.pyx:2411-2425) per document.
+    ``font_info`` mirrors the hocr_font_info flag read by _get_renderer
+    (tesserocr/tesserocr.pyx:2206-2208)."""
     from .core.fold import hocr_text
 
-    udf = _spans_format_udf(hocr_text)
+    udf = _spans_format_udf(lambda u, sp: hocr_text(u, sp, font_info=font_info))
     return docs.select("url", udf("url", "spans").alias("hocr"))
+
+
+def alto_sink(docs: DataFrame) -> DataFrame:
+    """TessAltoRenderer (tesserocr/tesserocr.pyx:2201-2203): ALTO-XML per doc."""
+    from .core.fold import alto_text
+
+    udf = _spans_format_udf(alto_text)
+    return docs.select("url", udf("url", "spans").alias("alto"))
+
+
+def osd_sink(docs: DataFrame) -> DataFrame:
+    """TessOsdRenderer (tesserocr/tesserocr.pyx:2196-2198): the .osd text
+    block per page — the only output in the PSM.OSD_ONLY short-circuit."""
+    from .core.fold import osd_text
+
+    @F.pandas_udf("string")
+    def fmt(osd: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [osd_text(row._asdict() if hasattr(row, "_asdict") else dict(row))
+             for row in osd.itertuples(index=False)],
+            dtype="object",
+        )
+
+    return docs.select("url", fmt("osd").alias("osd"))
+
+
+def pdf_sink(docs: DataFrame, textonly: bool = True) -> DataFrame:
+    """TessPDFRenderer (tesserocr/tesserocr.pyx:2214-2224) per document:
+    (url, pdf:binary). Only the textonly_pdf mode is carried — the
+    image-underlay mode needs a raster codec absent from this environment
+    and is stubbed per the multimodal convention (multimodal.py)."""
+    if not textonly:
+        raise NotImplementedError(
+            "textonly_pdf=0 (image underlay) requires an image codec; "
+            "only the text-only PDF path is implemented")
+    from .core.fold import pdf_bytes
+
+    @F.pandas_udf("binary")
+    def fmt(url: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [pdf_bytes(u, t) for u, t in zip(url, text)], dtype="object")
+
+    return docs.select("url", fmt("url", "extracted_text").alias("pdf"))
 
 
 def box_sink(docs: DataFrame) -> DataFrame:
@@ -95,9 +140,11 @@ def unlv_sink(docs: DataFrame) -> DataFrame:
 #: variable name -> (suffix, sink builder, writer) — the renderer registry
 #: mirroring _get_renderer's tessedit_create_* switches.
 RENDERERS = {
+    "tessedit_create_alto": ("alto", alto_sink, "json"),
     "tessedit_create_txt": ("txt", txt_sink, "text"),
     "tessedit_create_tsv": ("tsv", tsv_sink, "csv"),
     "tessedit_create_hocr": ("hocr", hocr_sink, "json"),
+    "tessedit_create_pdf": ("pdf", pdf_sink, "parquet"),
     "tessedit_create_boxfile": ("box", box_sink, "json"),
     "tessedit_write_unlv": ("unlv", unlv_sink, "json"),
 }
@@ -110,11 +157,17 @@ def write_renderers(
 ) -> dict[str, str]:
     """One scan, N sinks: persist docs, write every enabled format.
 
-    Returns {format: output_path}. The reference's OSD-only short-circuit
-    (tesserocr/tesserocr.pyx:2195-2198) falls out naturally: with PSM
-    OSD_ONLY the spans are empty and only txt/osd content is written.
+    Returns {format: output_path}. PSM.OSD_ONLY short-circuits to the single
+    OSD renderer exactly like the reference (tesserocr/tesserocr.pyx:2196-2198)
+    regardless of the tessedit_create_* toggles.
     """
+    from .constants import PSM
+
     cfg = config or DEFAULT_CONFIG
+    if cfg.psm == PSM.OSD_ONLY:
+        path = f"{outputbase}.osd"
+        osd_sink(docs).write.mode("overwrite").json(path)
+        return {"osd": path}
     enabled = [(var, spec) for var, spec in RENDERERS.items()
                if cfg.get_bool_variable(var)]
     if not enabled:
@@ -122,13 +175,20 @@ def write_renderers(
     docs = docs.persist()
     try:
         out: dict[str, str] = {}
-        for _var, (suffix, builder, writer) in enabled:
+        for var, (suffix, builder, writer) in enabled:
             path = f"{outputbase}.{suffix}"
-            df = builder(docs)
+            if var == "tessedit_create_hocr":
+                df = builder(docs, font_info=cfg.get_bool_variable("hocr_font_info"))
+            elif var == "tessedit_create_pdf":
+                df = builder(docs, textonly=cfg.get_bool_variable("textonly_pdf"))
+            else:
+                df = builder(docs)
             if writer == "text":
                 df.write.mode("overwrite").text(path)
             elif writer == "csv":
                 df.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+            elif writer == "parquet":
+                df.write.mode("overwrite").parquet(path)
             else:
                 df.write.mode("overwrite").json(path)
             out[suffix] = path

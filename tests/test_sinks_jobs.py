@@ -16,8 +16,11 @@ from tesserocr_spark.jobs import (
 )
 from tesserocr_spark.pages import synthetic_pages
 from tesserocr_spark.sinks import (
+    alto_sink,
     box_sink,
     hocr_sink,
+    osd_sink,
+    pdf_sink,
     tsv_sink,
     txt_sink,
     unlv_sink,
@@ -58,19 +61,79 @@ class TestSinks:
         u = unlv_sink(docs).collect()
         assert any("^" in r.unlv for r in u)  # suspect markers exist
 
+    def test_alto_sink_well_formed(self, spark):
+        import xml.etree.ElementTree as ET
+
+        docs = _docs(spark, 10)
+        rows = alto_sink(docs).collect()
+        assert len(rows) == 10
+        ns = "{http://www.loc.gov/standards/alto/ns-v3#}"
+        doc = next(r for r in rows if "<String " in r.alto)
+        root = ET.fromstring(doc.alto)
+        strings = root.findall(f".//{ns}String")
+        n_words = docs.filter(F.col("url") == doc.url).select(
+            F.size(F.filter("spans", lambda s: s.level == 3))).first()[0]
+        assert len(strings) == n_words
+        assert all("CONTENT" in s.attrib and "WC" in s.attrib for s in strings)
+        assert root.findall(f".//{ns}SP")  # inter-word gaps present
+
+    def test_osd_sink_format(self, spark):
+        docs = _docs(spark, 5)
+        rows = osd_sink(docs).collect()
+        assert len(rows) == 5
+        assert all(r.osd.startswith("Page 0: 0\n") for r in rows)
+        assert all("Script: " in r.osd for r in rows)
+
+    def test_pdf_sink_textonly(self, spark):
+        import pytest
+
+        docs = _docs(spark, 5)
+        rows = pdf_sink(docs).collect()
+        assert all(bytes(r.pdf).startswith(b"%PDF-1.4") for r in rows)
+        assert all(bytes(r.pdf).rstrip().endswith(b"%%EOF") for r in rows)
+        # deterministic: same doc -> same bytes
+        again = {r.url: bytes(r.pdf) for r in pdf_sink(docs).collect()}
+        assert all(bytes(r.pdf) == again[r.url] for r in rows)
+        with pytest.raises(NotImplementedError):
+            pdf_sink(docs, textonly=False)
+
+    def test_hocr_font_info_flag(self, spark):
+        docs = _docs(spark, 10)
+        plain = {r.url: r.hocr for r in hocr_sink(docs).collect()}
+        with_font = {r.url: r.hocr for r in
+                     hocr_sink(docs, font_info=True).collect()}
+        assert all("x_font" not in h for h in plain.values())
+        assert all("x_font" in h or "ocrx_word" not in h
+                   for h in with_font.values())
+
+    def test_write_renderers_osd_only_short_circuit(self, spark, tmp_path):
+        from tesserocr_spark.constants import PSM
+
+        docs = _docs(spark, 5)
+        cfg = ExtractorConfig(psm=PSM.OSD_ONLY, variables={
+            "tessedit_create_txt": "1", "tessedit_create_hocr": "1"})
+        out = write_renderers(docs, str(tmp_path / "osd"), cfg)
+        assert set(out) == {"osd"}  # tesserocr.pyx:2196-2198 short-circuit
+        assert spark.read.json(out["osd"]).count() == 5
+
     def test_write_renderers_multi_sink(self, spark, tmp_path):
         docs = _docs(spark, 15)
         cfg = ExtractorConfig(variables={
             "tessedit_create_txt": "1",
             "tessedit_create_tsv": "1",
             "tessedit_create_hocr": "1",
+            "tessedit_create_alto": "1",
+            "tessedit_create_pdf": "1",
         })
         out = write_renderers(docs, str(tmp_path / "out"), cfg)
-        assert set(out) == {"txt", "tsv", "hocr"}
+        assert set(out) == {"txt", "tsv", "hocr", "alto", "pdf"}
         txt = spark.read.text(out["txt"])
         assert txt.count() == 15
         tsv = spark.read.option("sep", "\t").option("header", True).csv(out["tsv"])
         assert tsv.count() > 15
+        pdf = spark.read.parquet(out["pdf"])
+        assert pdf.count() == 15
+        assert bytes(pdf.first().pdf).startswith(b"%PDF")
 
 
 class TestJobs:
