@@ -374,3 +374,84 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= 0.3)
     )
+
+
+# -- duplicate clusters (connected components) --------------------------------
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id),
+keyed AS (
+  SELECT c.doc_id,
+         ('0x' || substr(md5(string_split(c.text, ' ')[-1]), 1, 15))::BIGINT % 16 AS bucket,
+         s.sh
+  FROM candidates c JOIN sets s ON s.doc_id = c.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.3
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node""",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS via connected components over near-dup pairs —
+    the iterative operator a dedup pipeline needs when similarity is not
+    transitive (A~B, B~C, A!~C must still collapse to one cluster).
+
+    Spark-first iteration: min-label propagation over the edge list with an
+    early-stop convergence check; ``localCheckpoint`` truncates the lineage
+    each round so the plan stays flat. Rounds needed = component diameter
+    (tiny for dup clusters); the 100 TB upgrade is the large-star/small-star
+    variant of the same loop, which converges in O(log d) rounds. The DuckDB
+    oracle states the same fixpoint as a recursive CTE."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
+        .toDF("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        improved = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )

@@ -381,3 +381,116 @@ def empty_level_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
         .select("o_orderkey", F.lit(True).alias("empty"))
     )
+
+
+@query(
+    "events_asof_view",
+    oracle="""
+SELECT c.event_id,
+       v.ts AS asof_view_ts,
+       CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts""",
+)
+def events_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (a reference-absent operator Spark also lacks natively):
+    each click matched to the latest view of the same user at-or-before it.
+
+    Spark-first composition: tag views and clicks in ONE pass, window over
+    (user_id, ts) with last(view_ts, ignorenulls) — a single shuffle keyed
+    by user_id, no inequality join, no cross product. At 100 TB this is the
+    only as-of shape that scales: the naive t1 <= t2 join is quadratic per
+    user, this is O(n log n) per partition. Views sort before clicks at an
+    equal ts so the ASOF ``<=`` bound is honored."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_view = (F.col("event_type") == "view").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", (1 - is_view), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "view_ts", F.when(F.col("event_type") == "view", F.col("ts"))
+    ).withColumn("asof_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return tagged.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "asof_view_ts",
+        (F.col("ts").cast("timestamp").cast("long")
+         - F.col("asof_view_ts").cast("timestamp").cast("long"))
+        .cast("bigint").alias("gap_s"),
+    )
+
+
+@query(
+    "events_range_join",
+    oracle="""
+SELECT e.event_id, count(c.event_id) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 300 SECOND AND c.ts <= e.ts
+GROUP BY e.event_id""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via band bucketing: clicks within the 5 minutes before
+    each error, same user.
+
+    Scale shape: each click is posted to its 300 s bucket and the next one
+    (narrow explode, 2x), then an EQUI-join on (user_id, bucket) + residual
+    range filter — candidate pairs are bounded by bucket width instead of
+    the per-user cross product a raw inequality join would plan (BNLJ)."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    bucket = F.floor(sec / 300).cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", bucket.alias("b")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"), "user_id",
+            F.col("ts").alias("c_ts"),
+            F.explode(F.array(bucket, bucket + 1)).alias("b"),
+        )
+    )
+    matched = (
+        errors.join(clicks, ["user_id", "b"])
+        .filter(
+            (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 300 SECONDS"))
+            & (F.col("c_ts") <= F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return errors.select("event_id").join(matched, "event_id", "left").select(
+        "event_id", F.coalesce("n", F.lit(0)).alias("n_clicks")
+    )
+
+
+@query(
+    "event_value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type""",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (reference-absent analytics;
+    SURVEY §2.4 'approximate aggregates' row). Exact ``percentile`` keeps
+    the oracle bit-comparable; the 100 TB variant swaps in
+    ``percentile_approx`` (t-digest, mergeable map-side) with zero query
+    changes."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )

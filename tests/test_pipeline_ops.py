@@ -197,3 +197,20 @@ class TestIVF:
         )
         assert hits > 0
         assert set(cells) and all(0 <= c < 16 for c in cells.values())
+
+
+class TestCCClusters:
+    def test_planted_pairs_cluster_to_min_id(self, spark):
+        from tesserocr_spark.queries.dedup import (
+            dedup_cc_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        labels = {r.doc_id: r.cluster_id
+                  for r in dedup_cc_clusters(spark, SF_DIR).collect()}
+        pairs = ngram_jaccard_pairs(spark, SF_DIR).collect()
+        assert pairs and labels
+        # every near-dup pair landed in the same cluster (the CC fixpoint)
+        assert all(labels[p.a_id] == labels[p.b_id] for p in pairs)
+        # cluster representative is the component-minimum id
+        assert all(cid <= did and cid in labels for did, cid in labels.items())

@@ -84,3 +84,25 @@ def test_ann_broadcasts_queries(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     # the only wide exchange is the per-query regroup
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of composition must plan as one user_id shuffle + window —
+    no join operator at all (a BNLJ here would be quadratic per user)."""
+    from tesserocr_spark.queries.relational import events_asof_view
+
+    plan = _plan(events_asof_view(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join_not_bnlj(spark):
+    """Band bucketing must turn the time-range join into an equi hash/merge
+    join; a BroadcastNestedLoopJoin or CartesianProduct means the bands
+    didn't reach the join keys."""
+    from tesserocr_spark.queries.relational import events_range_join
+
+    plan = _plan(events_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
