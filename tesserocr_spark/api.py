@@ -122,6 +122,8 @@ class SparkPageAPI:
         self._pages: DataFrame | None = None
         self._docs: DataFrame | None = None
         self._region: tuple[int, int, int, int] | None = None
+        # SetBoundingBoxComponents state (tesserocr/tesserocr.pyx:570-608)
+        self._bbox_components = (True, True)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -217,8 +219,34 @@ class SparkPageAPI:
     # -- document-level getters ---------------------------------------------
 
     def get_utf8_text(self) -> DataFrame:
-        """(url, text) — GetUTF8Text per document (tesserocr/tesserocr.pyx:2379-2390)."""
-        return self.recognize().select("url", F.col("extracted_text").alias("text"))
+        """(url, text) — GetUTF8Text per document (tesserocr/tesserocr.pyx:
+        2379-2390), honoring the line/paragraph separators
+        (SetLineSeparator/SetParagraphSeparator, :862-870). At the "\n"
+        defaults this is the extraction-time text verbatim (no refold)."""
+        line_sep = self.config.get_string_variable("line_separator")
+        para_sep = self.config.get_string_variable("paragraph_separator")
+        docs = self.recognize()
+        if (line_sep, para_sep) == ("\n", "\n"):
+            return docs.select("url", F.col("extracted_text").alias("text"))
+        from .core.fold import fold_spans
+
+        @F.pandas_udf("string")
+        def refold(spans: pd.Series) -> pd.Series:
+            return pd.Series(
+                [fold_spans([] if sp is None else list(sp), line_sep, para_sep)
+                 for sp in spans],
+                dtype="object",
+            )
+
+        return docs.select("url", refold("spans").alias("text"))
+
+    def set_line_separator(self, separator: str) -> "SparkPageAPI":
+        """SetLineSeparator (tesserocr/tesserocr.pyx:862-865)."""
+        return self.set_variable("line_separator", separator)
+
+    def set_paragraph_separator(self, separator: str) -> "SparkPageAPI":
+        """SetParagraphSeparator (tesserocr/tesserocr.pyx:867-870)."""
+        return self.set_variable("paragraph_separator", separator)
 
     def get_iterator(self) -> DataFrame:
         """GetIterator (tesserocr/tesserocr.pyx:2367-2377) — the spans_long view."""
@@ -316,7 +344,8 @@ class SparkPageAPI:
     def word_font_attributes(self) -> DataFrame:
         from .attributes import word_font_attributes
 
-        return word_font_attributes(self.get_iterator())
+        ppi = self.config.get_int_variable("source_resolution")
+        return word_font_attributes(self.get_iterator(), source_ppi=ppi)
 
     def word_attributes(self, dictionary: tuple[str, ...] = ()) -> DataFrame:
         from .attributes import word_attributes
@@ -357,6 +386,49 @@ class SparkPageAPI:
         from .attributes import symbol_choices
 
         return symbol_choices(self.get_iterator())
+
+    def iterate_choices(self) -> DataFrame:
+        """iterate_choices (tesserocr/tesserocr.pyx:1166-1170): one row per
+        (symbol, alternative) in best-first order — posexplode of the
+        nested choice arrays."""
+        return self.get_choice_iterator().select(
+            "url", "block_id", "para_id", "line_id", "word_id", "symbol_id",
+            F.posexplode("choices").alias("rank", "choice"),
+        ).select(
+            "url", "block_id", "para_id", "line_id", "word_id", "symbol_id",
+            "rank", F.col("choice.choice").alias("choice"),
+            F.col("choice.conf").alias("conf"),
+        )
+
+    def paragraph_is_ltr(self) -> DataFrame:
+        from .attributes import paragraph_is_ltr
+
+        return paragraph_is_ltr(self.get_iterator())
+
+    def bounding_box_internal(self, level: int | None = None) -> DataFrame:
+        """BoundingBoxInternal (tesserocr/tesserocr.pyx:610-622): bboxes in
+        working-rectangle coordinates (origin at the SetRectangle corner)."""
+        from .attributes import bounding_box_internal
+
+        left, top = (self._region[0], self._region[1]) if self._region else (0, 0)
+        sl = self.get_iterator()
+        if level is not None:
+            sl = sl.filter(F.col("level") == level)
+        return bounding_box_internal(sl, left=left, top=top, scale=1)
+
+    def set_bounding_box_components(
+        self, include_upper_dots: bool, include_lower_dots: bool
+    ) -> "SparkPageAPI":
+        """SetBoundingBoxComponents (tesserocr/tesserocr.pyx:570-583).
+        Char-grid geometry has no above/below-body diacritics, so the flags
+        are recorded but never change a bbox (documented no-op)."""
+        self._bbox_components = (bool(include_upper_dots), bool(include_lower_dots))
+        return self
+
+    def set_source_resolution(self, ppi: int) -> "SparkPageAPI":
+        """SetSourceResolution (tesserocr/tesserocr.pyx:1827-1833): source
+        PPI feeding WordFontAttributes pointsize."""
+        return self.set_variable("source_resolution", str(int(ppi)))
 
     def get_best_lstm_symbol_choices(self) -> DataFrame:
         from .attributes import best_lstm_symbol_choices
@@ -440,6 +512,11 @@ class SparkPageAPI:
     def oem(self) -> int:
         """Engine-mode getter (tesserocr/tesserocr.pyx:2644-2646)."""
         return self.config.oem
+
+    def get_datapath(self) -> str:
+        """GetDatapath (tesserocr/tesserocr.pyx:1356-1358): the model
+        location — a constant for the built-in HTML segmentation engine."""
+        return "tesserocr_spark://builtin"
 
     def clear_persistent_cache(self) -> None:
         """ClearPersistentCache (tesserocr/tesserocr.pyx:1241-1243)."""

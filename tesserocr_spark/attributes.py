@@ -27,10 +27,13 @@ def _has(bit: int):
     return F.col("flags").bitwiseAND(bit) != 0
 
 
-def word_font_attributes(sl: DataFrame) -> DataFrame:
+def word_font_attributes(sl: DataFrame, source_ppi: int = 70) -> DataFrame:
     """WordFontAttributes (tesserocr/tesserocr.pyx:894-942): font name + six
     booleans + pointsize/font_id. Bold/italic/monospace come from the DOM
-    styling tags captured at extraction; the rest are fixed for HTML."""
+    styling tags captured at extraction; the rest are fixed for HTML.
+    ``source_ppi`` mirrors SetSourceResolution (tesserocr.pyx:1827-1833):
+    pointsize = 840/ppi, i.e. 12 pt at the 70-ppi default."""
+    pointsize = int(round(840 / source_ppi)) if source_ppi > 0 else 12
     return sl.filter(F.col("level") == RIL.WORD).select(
         "url", "block_id", "para_id", "line_id", "word_id",
         F.col("text").alias("word"),
@@ -41,7 +44,7 @@ def word_font_attributes(sl: DataFrame) -> DataFrame:
         _has(FLAG_MONO).alias("monospace"),
         F.lit(False).alias("serif"),
         F.lit(False).alias("smallcaps"),
-        F.lit(12).alias("pointsize"),
+        F.lit(pointsize).alias("pointsize"),
         F.lit(0).alias("font_id"),
     )
 
@@ -194,3 +197,33 @@ def text_direction(docs: DataFrame) -> DataFrame:
     """GetTextDirection (tesserocr/tesserocr.pyx:2602-2613): (offset, slope)
     — constant for upright HTML pages."""
     return docs.select("url", F.lit(0).alias("offset"), F.lit(0.0).alias("slope"))
+
+
+def paragraph_is_ltr(sl: DataFrame) -> DataFrame:
+    """ParagraphIsLtr (tesserocr/tesserocr.pyx:1086-1090): the paragraph's
+    dominant reading direction — left-to-right unless a strict majority of
+    its words carry the RTL bidi flag. One hash agg keyed by paragraph."""
+    return (
+        sl.filter((F.col("level") == RIL.WORD) & F.col("text").isNotNull())
+        .groupBy("url", "block_id", "para_id")
+        .agg(
+            (F.sum(_has(FLAG_RTL).cast("int")) * 2 <= F.count("*"))
+            .alias("is_ltr")
+        )
+    )
+
+
+def bounding_box_internal(
+    sl: DataFrame, left: int = 0, top: int = 0, scale: int = 1
+) -> DataFrame:
+    """BoundingBoxInternal (tesserocr/tesserocr.pyx:610-622): span bboxes in
+    the working-rectangle coordinate system — origin at the SetRectangle
+    corner, scaled by the preprocessing factor (metrics.scale_factor; 1 for
+    the HTML char grid)."""
+    return sl.select(
+        "url", "level", "block_id", "para_id", "line_id", "word_id", "symbol_id",
+        ((F.col("bbox.x0") - left) * scale).alias("x0"),
+        ((F.col("bbox.y0") - top) * scale).alias("y0"),
+        ((F.col("bbox.x1") - left) * scale).alias("x1"),
+        ((F.col("bbox.y1") - top) * scale).alias("y1"),
+    )

@@ -51,6 +51,8 @@ VARIABLE_DEFAULTS: dict[str, str] = {
     "emit_symbols": "1",
     # per-document char budget — DOM safety cap for pathological pages
     "max_html_bytes": "16777216",
+    # source resolution in PPI (SetSourceResolution, tesserocr.pyx:1827-1833)
+    "source_resolution": "70",
     # training-format knobs carried for config-file parity (tests/box.train)
     "file_type": "",
     "edges_childarea": "0.5",
@@ -130,6 +132,9 @@ class ExtractorConfig:
 
     def get_bool_variable(self, name: str) -> bool:
         return self.get_variable(name).lower() in _BOOL_TRUE
+
+    # GetStringVariable (tesserocr/tesserocr.pyx:1458-1467)
+    get_string_variable = get_variable
 
     def with_variable(self, name: str, value: str) -> "ExtractorConfig":
         """SetVariable analogue — returns a new config (immutable)."""

@@ -26,12 +26,16 @@ def _spans(spans) -> list[Span]:
     return [s if isinstance(s, Span) else as_span(s) for s in spans]
 
 
-def fold_spans(spans) -> str:
+def fold_spans(spans, line_sep: str = "\n", para_sep: str = "\n") -> str:
     """Rebuild GetUTF8Text output from span rows (any level mix; uses WORD).
 
     Law: within a line, words joined by ``blanks`` spaces; lines joined by
-    ``"\\n"``; each paragraph terminated by ``"\\n"``; paragraphs separated by
-    an additional ``"\\n"`` (blank line).
+    ``line_sep``; each paragraph terminated by ``line_sep``; paragraphs
+    separated by ``para_sep`` (a blank line at the "\\n" defaults).
+
+    ``line_sep``/``para_sep`` mirror SetLineSeparator / SetParagraphSeparator
+    (tesserocr/tesserocr.pyx:862-870); at the defaults the output is
+    byte-identical to the frozen law in extractor.py.
     """
     words = [s for s in _spans(spans) if s.level == RIL.WORD and s.text is not None]
     words.sort(key=lambda s: (s.block_id, s.para_id, s.line_id, s.word_id))
@@ -45,7 +49,7 @@ def fold_spans(spans) -> str:
         if prev is not None:
             if pkey != prev[0]:
                 cur_para.append("".join(cur_line))
-                paras.append("\n".join(cur_para) + "\n")
+                paras.append(line_sep.join(cur_para) + line_sep)
                 cur_para, cur_line = [], []
             elif lkey != prev[1]:
                 cur_para.append("".join(cur_line))
@@ -55,8 +59,8 @@ def fold_spans(spans) -> str:
     if cur_line:
         cur_para.append("".join(cur_line))
     if cur_para:
-        paras.append("\n".join(cur_para) + "\n")
-    return "\n".join(paras)
+        paras.append(line_sep.join(cur_para) + line_sep)
+    return para_sep.join(paras)
 
 
 def tsv_rows(url: str, spans) -> list[str]:

@@ -107,3 +107,72 @@ def test_connected_components(spark):
     assert cc.count() > 0
     assert cc.filter(F.col("text").isNotNull()).count() == 0  # layout-only
     api.end()
+
+
+TWO_PARAS = b"""<main><p>The quick brown fox</p><p>jumps over lazy dogs</p></main>"""
+
+
+def test_custom_separators_refold(spark):
+    api = _api(spark, [TWO_PARAS])
+    default = api.get_utf8_text().first().text
+    assert default == "The quick brown fox\n\njumps over lazy dogs\n"
+    api.set_line_separator(" | ").set_paragraph_separator("<PARA>")
+    custom = api.get_utf8_text().first().text
+    assert custom == "The quick brown fox | <PARA>jumps over lazy dogs | "
+    # back to defaults -> byte-identical extraction-time text again
+    api.set_line_separator("\n").set_paragraph_separator("\n")
+    assert api.get_utf8_text().first().text == default
+    api.end()
+
+
+def test_paragraph_is_ltr(spark):
+    api = _api(spark, [TWO_PARAS])
+    rows = api.paragraph_is_ltr().collect()
+    assert len(rows) == 2 and all(r.is_ltr for r in rows)
+    api.end()
+
+
+def test_bounding_box_internal_shift(spark):
+    from tesserocr_spark.attributes import bounding_box_internal
+
+    api = _api(spark, [TWO_PARAS])
+    sl = api.get_iterator()
+    raw = {(r.level, r.block_id, r.para_id, r.line_id, r.word_id, r.symbol_id):
+           (r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1) for r in sl.collect()}
+    shifted = {(r.level, r.block_id, r.para_id, r.line_id, r.word_id, r.symbol_id):
+               (r.x0, r.y0, r.x1, r.y1)
+               for r in bounding_box_internal(sl, left=2, top=1).collect()}
+    for k, (x0, y0, x1, y1) in raw.items():
+        assert shifted[k] == (x0 - 2, y0 - 1, x1 - 2, y1 - 1)
+    # no-region facade path equals the raw bbox
+    ident = api.bounding_box_internal().collect()
+    assert all(raw[(r.level, r.block_id, r.para_id, r.line_id, r.word_id,
+                    r.symbol_id)] == (r.x0, r.y0, r.x1, r.y1) for r in ident)
+    api.end()
+
+
+def test_iterate_choices_best_first(spark):
+    api = _api(spark, [STYLED])
+    rows = api.iterate_choices().collect()
+    assert rows
+    by_sym = {}
+    for r in rows:
+        by_sym.setdefault(
+            (r.block_id, r.para_id, r.line_id, r.word_id, r.symbol_id), []
+        ).append((r.rank, r.conf))
+    for choices in by_sym.values():
+        choices.sort()
+        confs = [c for _, c in choices]
+        assert confs == sorted(confs, reverse=True)  # best-first
+    api.end()
+
+
+def test_source_resolution_pointsize_and_datapath(spark):
+    api = _api(spark, [TWO_PARAS])
+    assert api.word_font_attributes().first().pointsize == 12
+    api.set_source_resolution(140)
+    assert api.word_font_attributes().first().pointsize == 6
+    assert api.get_datapath() == "tesserocr_spark://builtin"
+    assert api.set_bounding_box_components(False, True) is api
+    assert api._bbox_components == (False, True)
+    api.end()
