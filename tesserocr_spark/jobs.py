@@ -66,6 +66,27 @@ def write_bucketed(df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS) -
     with_bucket(df, n_buckets).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    key: str = "url",
+) -> None:
+    """Write a Spark BUCKETED table (``bucketBy`` + ``sortBy`` on the join
+    key) — the co-located-join layout for the 100 TB corpus: two tables
+    bucketed the same way join with a SortMergeJoin and ZERO Exchange (no
+    shuffle, no sort). This is the shuffle-free twin of ``write_bucketed``'s
+    directory partitioning; use it for the docs↔pages / docs↔fixtures joins
+    that recur every round (the shuffle is paid once at write time)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def lineage_rows(docs_with_bucket: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics aggregation (LINEAGE_SCHEMA)."""
     return docs_with_bucket.groupBy("bucket").agg(

@@ -106,3 +106,27 @@ def test_range_join_is_equi_join_not_bnlj(spark):
     plan = _plan(events_range_join(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with no
+    Exchange and no Sort — the co-located join layout for corpus-scale."""
+    from tesserocr_spark.jobs import write_bucketed_table
+    from tesserocr_spark.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 200).select("url", "lang")
+    texts = synthetic_pages(spark, 200).select("url", "warc_ts")
+    write_bucketed_table(pages, "bq_pages", n_buckets=4)
+    write_bucketed_table(texts, "bq_texts", n_buckets=4)
+    try:
+        # hint forces SMJ (tiny test tables would otherwise broadcast);
+        # the property under test is the absence of Exchange/Sort
+        joined = spark.table("bq_pages").hint("merge").join(
+            spark.table("bq_texts"), "url")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_pages")
+        spark.sql("DROP TABLE IF EXISTS bq_texts")
