@@ -115,3 +115,25 @@ def test_never_raises_on_garbage(data):
     """Malformed bytes degrade to (possibly empty) text, never an exception."""
     d = _EX.extract(data)
     assert fold_spans(d.spans) == d.text
+
+
+@given(html_docs(),
+       st.text(alphabet=" |\n\t-", min_size=1, max_size=3),
+       st.text(alphabet=" |\n\t-", min_size=1, max_size=3))
+@settings(max_examples=40, deadline=None)
+def test_fold_separator_law(html, line_sep, para_sep):
+    """Parameterized fold law: default separators reproduce extracted_text
+    byte-for-byte; custom separators appear exactly where the law says —
+    swapping them back in recovers the default fold."""
+    d = _EX.extract(html)
+    assert fold_spans(d.spans) == d.text
+    custom = fold_spans(d.spans, line_sep, para_sep)
+    # reversible when the separators are unambiguous markers
+    marked = fold_spans(d.spans, "\x01", "\x02")
+    assert marked.replace("\x01", "\n").replace("\x02", "\n") == d.text
+    # word content is separator-invariant (non-empty seps keep boundaries;
+    # empty separators legally merge adjacent words, like the reference)
+    strip = lambda s, seps: [w for w in
+                             s.replace(seps[0], " ")
+                              .replace(seps[1], " ").split() if w]
+    assert strip(custom, (line_sep, para_sep)) == strip(d.text, ("\n", "\n"))
