@@ -134,6 +134,41 @@ class TestMultimodal:
         for ids in per_doc.values():
             assert sorted(ids) == list(range(len(ids)))
 
+    def test_feature_extract_real_histogram(self, spark):
+        from tesserocr_spark.multimodal import N_FEATURES, feature_extract_map
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        feats = d.mapInPandas(
+            feature_extract_map, "doc_id bigint, features array<double>"
+        ).collect()
+        assert len(feats) == 50
+        for r in feats:
+            assert len(r.features) == N_FEATURES
+            assert abs(sum(r.features) - 1.0) < 1e-9
+        again = {r.doc_id: r.features for r in d.mapInPandas(
+            feature_extract_map, "doc_id bigint, features array<double>"
+        ).collect()}
+        assert all(again[r.doc_id] == r.features for r in feats)
+
+    def test_resize_stub_shrinks(self, spark):
+        from tesserocr_spark.multimodal import resize_stub_map
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).select(
+            "doc_id", F.encode("text", "UTF-8").alias("payload")
+        )
+        out = d.mapInPandas(
+            resize_stub_map(target_width=64),
+            "doc_id bigint, width int, n_bytes int, payload binary",
+        ).collect()
+        assert len(out) == 50
+        src = {r.doc_id: len(r.payload) for r in d.collect()}
+        for r in out:
+            assert r.width <= 64
+            assert 0 < r.n_bytes <= src[r.doc_id]
+            assert len(r.payload) == r.n_bytes
+
 
 class TestEmbeddingDedup:
     def test_planted_vector_duplicates_found(self, spark):
