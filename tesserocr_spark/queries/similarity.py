@@ -292,11 +292,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # rows-only: composition of the two oracle-checked stages
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH buckets AS (
+  SELECT vec_id, embedding, {{bucket_sql}} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos_raw, 6) AS cos
+FROM scored WHERE rank <= {_TOP_K}""".replace("{bucket_sql}", _lsh_bucket_sql()),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: exact cosine only within the query's bucket.
-    Composition of ann_lsh_buckets + ann_bruteforce_topk (both
-    oracle-checked); recall vs brute force is asserted in pytest."""
+    Composition of ann_lsh_buckets + ann_bruteforce_topk; recall vs brute
+    force is asserted in pytest, end-to-end values against the oracle."""
     e = _emb(spark, sf_dir).withColumn("bucket", _lsh_bucket_expr())
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
