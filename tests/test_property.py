@@ -133,7 +133,10 @@ def test_fold_separator_law(html, line_sep, para_sep):
     assert marked.replace("\x01", "\n").replace("\x02", "\n") == d.text
     # word content is separator-invariant (non-empty seps keep boundaries;
     # empty separators legally merge adjacent words, like the reference)
-    strip = lambda s, seps: [w for w in
-                             s.replace(seps[0], " ")
-                              .replace(seps[1], " ").split() if w]
+    def strip(s, seps):
+        # longer separator first, else a shorter one that prefixes the
+        # longer leaves fragments behind (e.g. line="|", para="|-")
+        for sep in sorted(seps, key=len, reverse=True):
+            s = s.replace(sep, " ")
+        return s.split()
     assert strip(custom, (line_sep, para_sep)) == strip(d.text, ("\n", "\n"))
