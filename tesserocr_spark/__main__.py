@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--psm", type=int, default=3)
     ap.add_argument("--lang", default="eng")
     ap.add_argument("--formats", default="txt",
-                    help="comma list: txt,tsv,hocr,box,unlv")
+                    help="comma list: txt,tsv,hocr,alto,pdf,box,unlv")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--timeout-ms", type=int, default=0,
