@@ -6,15 +6,27 @@ copies for hash dedup, first-word-dropped copies for near-dup methods — so
 the operators produce meaningful, oracle-checkable output.
 
 All hashing uses the verified md5-hex→int64 pair (registry docstring), so
-Spark and DuckDB agree bit-for-bit. Everything is JVM-native (explode +
-hash agg + self-join); at corpus scale the shuffles are keyed exactly where
-they must be (signature/band buckets), and candidate verification happens
-after the LSH bucket join — the standard minhash-LSH shape.
+Spark and DuckDB agree bit-for-bit.
+
+Scale design (the 100 TB contract):
+
+* Signatures (shingles, minhash, simhash) are computed with higher-order
+  array expressions (``transform``/``aggregate``/``array_min``) — ZERO
+  shuffles, embarrassingly parallel, no Python. The earlier
+  posexplode + per-doc window formulation paid an avoidable per-doc sort
+  shuffle that dominated the bench and anti-scaled 8→32 cores.
+* Candidate generation is always an EQUI-join on a content-derived key whose
+  cardinality grows with the corpus (minhash band buckets, simhash
+  pigeonhole bit-slices, bottom-k shingle-hash blocks) — never an all-pairs
+  theta join and never a fixed bucket count.
+* Verification (exact Jaccard / Hamming) runs only on blocked candidates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -90,6 +102,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- shared shingle machinery --------------------------------------------------
+
+#: md5-hex → int64 hash law as a SQL-expr template (registry docstring twin).
+_HASH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _shingle_array(cand: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — DISTINCT 3-word shingles per document,
+    built entirely with array expressions: ``transform(sequence(...))`` over
+    the split word array, then ``array_distinct``. ZERO shuffles and no
+    per-doc window sort (the posexplode + Window formulation this replaces
+    was the single most expensive non-extract stage in BENCH_r01 and
+    anti-scaled 8→32 cores)."""
+    return cand.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) "
+                "ELSE cast(array() as array<string>) END"
+            )
+        ).alias("sh"),
+    )
+
+
 # -- minhash LSH --------------------------------------------------------------
 
 _N_HASHES = 8
@@ -115,37 +153,30 @@ hashes AS (
 )
 """
 
+#: per-document minhash signature: for each band, min over shingles of the
+#: band-salted md5-int hash. Pure array expression — no shuffle, no Python.
+_MINHASH_EXPR = (
+    f"transform(sequence(0, {_N_HASHES - 1}), b -> named_struct("
+    "'band', cast(b as int), "
+    "'minhash', array_min(transform(sh, s -> "
+    + _HASH.format(x="concat(cast(b as string), ':', s)")
+    + "))))"
+)
+
+
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, minhash) from a shingle-array frame. The whole
+    signature computation is one narrow projection; the first (and only)
+    shuffles in any minhash query are downstream, keyed on the LSH buckets."""
+    return (
+        sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.explode(F.expr(_MINHASH_EXPR)).alias("x"))
+        .select("doc_id", "x.band", "x.minhash")
+    )
+
 
 def _minhash_signatures(cand: DataFrame) -> DataFrame:
-    """(doc_id, band, minhash): min over 3-word shingles of band-salted
-    md5-int hashes. Shuffle count: one explode (narrow) + one hash agg keyed
-    (doc_id, band)."""
-    words = cand.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
-    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingles = (
-        words.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "word", F.lead("word", 1).over(w), F.lead("word", 2).over(w)
-            ).alias("shingle"),
-            F.lead("word", 2).over(w).alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
-    bands = shingles.crossJoin(
-        F.broadcast(
-            shingles.sparkSession.range(_N_HASHES).select(F.col("id").cast("int").alias("band"))
-        )
-    )
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), "shingle")), 1, 15),
-        16, 10,
-    ).cast("bigint")
-    return bands.groupBy("doc_id", "band").agg(F.min(h).alias("minhash"))
+    return _minhash_signatures_from(_shingle_array(cand))
 
 
 @query(
@@ -184,11 +215,13 @@ SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection: signature → band-bucket self-join →
-    Jaccard verification of candidates. The self-join is keyed on
-    (band, minhash) — at corpus scale that is the only wide shuffle, and
-    bucket sizes are bounded by signature collisions, not corpus size."""
+    Jaccard verification of candidates. Signatures and shingle sets are
+    narrow array expressions; the only wide shuffles are the (band, minhash)
+    bucket equi-join and the two doc_id-keyed verification joins — bucket
+    sizes are bounded by signature collisions, not corpus size."""
     cand = _candidates_near(spark, sf_dir)
-    sig = _minhash_signatures(cand)
+    sh = _shingle_array(cand)
+    sig = _minhash_signatures_from(sh)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
@@ -200,23 +233,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verification: true Jaccard over distinct shingle sets
-    words = cand.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    shingle_sets = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", "word", F.lead("word", 1).over(w),
-                        F.lead("word", 2).over(w)).alias("shingle"),
-            F.lead("word", 2).over(w).alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
-    sa, sb = shingle_sets.alias("sa"), shingle_sets.alias("sb")
+    # verification: true Jaccard over the distinct shingle arrays (no
+    # re-explode, no collect_set — the array IS the set)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
     jac = F.round(
         F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
         / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))),
@@ -255,26 +274,25 @@ sims AS (
 )
 """
 
+#: simhash over per-doc distinct word hashes ``hs`` — for each bit, the sign
+#: of sum(±1) over word-hash bits; pure nested array aggregation, no shuffle.
+_SIMHASH_EXPR = (
+    f"aggregate(transform(sequence(0, {_SIMHASH_BITS - 1}), b -> "
+    "CASE WHEN aggregate(hs, 0L, (acc, h) -> "
+    "acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+    "THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+)
+
 
 def _simhash(cand: DataFrame) -> DataFrame:
-    words = cand.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).distinct()
-    wh = words.select(
+    wh = cand.select(
         "doc_id",
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), x -> " + _HASH.format(x="x") + ")"
+        ).alias("hs"),
     )
-    bits = wh.crossJoin(
-        F.broadcast(wh.sparkSession.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit")))
-    ).groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
-        ).cast("bigint").alias("simhash")
+    return wh.select(
+        "doc_id", F.expr(_SIMHASH_EXPR).cast("bigint").alias("simhash")
     )
 
 
@@ -287,6 +305,15 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash(_candidates_near(spark, sf_dir))
 
 
+#: pigeonhole bit-slices for Hamming <= 2 on 16-bit signatures: 3 slices
+#: (6+5+5 bits) — any pair within distance 2 matches exactly on >= 1 slice.
+_SIMHASH_SLICES = (
+    "array(named_struct('sid', 0, 'sval', simhash & 63), "
+    "named_struct('sid', 1, 'sval', shiftright(simhash, 6) & 31), "
+    "named_struct('sid', 2, 'sval', shiftright(simhash, 11) & 31))"
+)
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -297,22 +324,83 @@ FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 2 on 16-bit signatures.
-    (Quadratic candidate scan here at test scale; at corpus scale you bucket
-    by simhash bit-slices exactly like the minhash bands.)"""
+    """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit signatures.
+
+    Candidate generation is the pigeonhole bit-slice EQUI-join: the
+    signature splits into 3 slices, any pair within distance 2 agrees on at
+    least one slice, so an equi-join on (slice_id, slice_value) finds every
+    qualifying pair — same output as the oracle's all-pairs scan, but
+    shuffle-keyed like the minhash bands instead of O(N²). (At a real
+    100 TB corpus you widen the signature to 64 bits so slice values have
+    ~2^21 cardinality; 16 bits is frozen here by the oracle law.)"""
     s = _simhash(_candidates_near(spark, sf_dir))
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    sl = s.select(
+        "doc_id", "simhash", F.explode(F.expr(_SIMHASH_SLICES)).alias("p")
+    ).select("doc_id", "simhash", "p.sid", "p.sval")
+    a, b = sl.alias("a"), sl.alias("b")
+    cand_pairs = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.sval") == F.col("b.sval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("a_id"),
+            F.col("a.simhash").alias("ha"),
             F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
+            F.col("b.simhash").alias("hb"),
         )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand_pairs.select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+    )
+
+
+# -- n-gram Jaccard ------------------------------------------------------------
+
+#: bottom-2 shingle-hash blocking keys (SQL-expr form over the ``sh`` array).
+#: Key cardinality grows with the corpus (content-derived hashes), unlike a
+#: fixed ``% k`` bucket whose within-bucket cross product is O(N²/k). Using
+#: the TWO smallest hashes guarantees recall for single-shingle edits: if a
+#: near-copy loses one shingle, at most one of the original's bottom-2 keys
+#: disappears, so the pair still shares a key (pigeonhole on bottom-k).
+_BOTTOM2_KEYS = (
+    "slice(array_sort(transform(sh, s -> " + _HASH.format(x="s") + ")), 1, 2)"
+)
+
+_SQL_BLOCKED_PAIRS = """
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id,
+         unnest(list_sort(list_transform(sh,
+                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))[1:2]) AS bkey
+  FROM sets
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _blocked_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """(a_id, b_id) candidate pairs via bottom-2 min-shingle-hash blocking."""
+    keyed = sh.filter(F.size("sh") > 0).select(
+        "doc_id", F.explode(F.expr(_BOTTOM2_KEYS)).alias("bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
 
 
@@ -320,58 +408,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
 WITH {_SQL_CANDIDATES_NEAR}, {_SQL_SHINGLES.rstrip()},
-sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id),
-keyed AS (
-  -- content-derived blocking key (the last word survives the near-copy edit)
-  SELECT c.doc_id,
-         ('0x' || substr(md5(string_split(c.text, ' ')[-1]), 1, 15))::BIGINT % 16 AS bucket,
-         s.sh
-  FROM candidates c JOIN sets s ON s.doc_id = c.doc_id
-)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.3""",
+{_SQL_BLOCKED_PAIRS.strip()}
+SELECT p.a_id, p.b_id,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+FROM pairs p
+JOIN sets sa ON sa.doc_id = p.a_id
+JOIN sets sb ON sb.doc_id = p.b_id
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(sa.sh || sb.sh)) >= 0.3""",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup within hash buckets (blocked all-pairs):
-    the non-probabilistic baseline the LSH methods approximate."""
+    """n-gram Jaccard near-dup pairs — the non-probabilistic baseline the
+    LSH methods approximate. Blocking key = the document's two smallest
+    shingle hashes (bottom-k sketch), so bucket cardinality scales with the
+    corpus and within-bucket membership is bounded by true near-duplicates,
+    not by N/k."""
     cand = _candidates_near(spark, sf_dir)
-    words = cand.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sets = (
-        words.select(
-            "doc_id",
-            F.concat_ws(" ", "word", F.lead("word", 1).over(w),
-                        F.lead("word", 2).over(w)).alias("shingle"),
-            F.lead("word", 2).over(w).alias("_guard"),
-        )
-        .filter(F.col("_guard").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
-    last_word_bucket = (
-        F.conv(F.substring(F.md5(F.element_at(F.split("text", " "), -1)), 1, 15), 16, 10)
-        .cast("bigint") % 16
-    )
-    sets = sets.join(
-        cand.select("doc_id", last_word_bucket.alias("bucket")), "doc_id"
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double") / F.size(
-        F.array_union(F.col("a.sh"), F.col("b.sh"))
-    )
+    sh = _shingle_array(cand)
+    pairs = _blocked_candidate_pairs(sh)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    jac = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        pairs.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .filter(jac >= 0.3)
     )
 
@@ -382,21 +445,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cc_clusters",
     oracle=f"""
 WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
-sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id),
-keyed AS (
-  SELECT c.doc_id,
-         ('0x' || substr(md5(string_split(c.text, ' ')[-1]), 1, 15))::BIGINT % 16 AS bucket,
-         s.sh
-  FROM candidates c JOIN sets s ON s.doc_id = c.doc_id
-),
-pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.3
+{_SQL_BLOCKED_PAIRS.strip()},
+near AS (
+  SELECT p.a_id, p.b_id
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.a_id
+  JOIN sets sb ON sb.doc_id = p.b_id
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.3
 ),
 edges AS (
-  SELECT a_id AS src, b_id AS dst FROM pairs
-  UNION SELECT b_id, a_id FROM pairs
+  SELECT a_id AS src, b_id AS dst FROM near
+  UNION SELECT b_id, a_id FROM near
 ),
 reach(node, label) AS (
   SELECT src, src FROM edges
@@ -416,8 +476,10 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     early-stop convergence check; ``localCheckpoint`` truncates the lineage
     each round so the plan stays flat. Rounds needed = component diameter
     (tiny for dup clusters); the 100 TB upgrade is the large-star/small-star
-    variant of the same loop, which converges in O(log d) rounds. The DuckDB
-    oracle states the same fixpoint as a recursive CTE."""
+    variant of the same loop, which converges in O(log d) rounds. A
+    component whose diameter exceeds the round cap raises rather than
+    returning silently-wrong labels. The DuckDB oracle states the same
+    fixpoint as a recursive CTE."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = (
         pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
@@ -431,7 +493,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    max_rounds = 20
+    improved = 0
+    for _ in range(max_rounds):
         nbr = edges.join(labels, edges.dst == labels.node).select(
             F.col("src").alias("node"), "label"
         )
@@ -451,6 +515,15 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if improved == 0:
             break
+    if improved != 0:
+        # labels would be silently wrong for any component with diameter
+        # beyond the cap — fail loudly instead (ADVICE r01)
+        warnings.warn(
+            f"dedup_cc_clusters: label propagation still improving after "
+            f"{max_rounds} rounds; cluster_ids may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),

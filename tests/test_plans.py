@@ -73,6 +73,39 @@ def test_dedup_exact_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_minhash_signatures_zero_shuffle(spark):
+    """Signature computation is pure array expressions — no Exchange at all
+    (the old posexplode + per-doc window build paid a sort shuffle that
+    dominated BENCH_r01 and anti-scaled 8→32 cores)."""
+    from tesserocr_spark.queries.dedup import minhash_signatures
+
+    assert "Exchange" not in _plan(minhash_signatures(spark, SF_DIR))
+
+
+def test_simhash_signatures_zero_shuffle(spark):
+    from tesserocr_spark.queries.dedup import simhash_signatures
+
+    assert "Exchange" not in _plan(simhash_signatures(spark, SF_DIR))
+
+
+def test_simhash_pairs_use_equi_join_not_allpairs(spark):
+    """Pigeonhole bit-slice blocking must reach the join as equi keys — an
+    all-pairs theta join (BNLJ/cartesian) is the O(N²) scale-killer."""
+    from tesserocr_spark.queries.dedup import dedup_simhash
+
+    plan = _plan(dedup_simhash(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_uses_equi_join_not_allpairs(spark):
+    from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_broadcasts_queries(spark):
     """Query vectors are broadcast; the corpus side never shuffles."""
     from tesserocr_spark.queries.similarity import ann_bruteforce_topk
