@@ -122,8 +122,6 @@ class SparkPageAPI:
         self._pages: DataFrame | None = None
         self._docs: DataFrame | None = None
         self._region: tuple[int, int, int, int] | None = None
-        # SetBoundingBoxComponents state (tesserocr/tesserocr.pyx:570-608)
-        self._bbox_components = (True, True)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -352,6 +350,45 @@ class SparkPageAPI:
 
         return word_attributes(self.get_iterator(), dictionary)
 
+    def word_recognition_language(self) -> DataFrame:
+        """WordRecognitionLanguage (tesserocr/tesserocr.pyx:944-953): the
+        document language projected onto WORD spans (pages must carry lang)."""
+        from .attributes import word_recognition_language
+
+        return word_recognition_language(self.recognize())
+
+    def word_normed_text(self) -> DataFrame:
+        """WordNormedUTF8Text (tesserocr/tesserocr.pyx:1002-1006): the
+        normalized recognition string per word."""
+        from .attributes import word_normed_text
+
+        return word_normed_text(self.get_iterator())
+
+    # -- iterator restart family (tesserocr/tesserocr.pyx:472-499) ----------
+    # The reference mutates a cursor; the stateless analogues return the
+    # restart POSITIONS as data, which is what a declarative engine can test.
+
+    def begin(self) -> DataFrame:
+        """Begin (tesserocr/tesserocr.pyx:472-474): the iterator restarted at
+        the document start — the full reading-order spans view (pos 0 first)."""
+        return self.get_iterator()
+
+    def restart_paragraph(self) -> DataFrame:
+        """RestartParagraph (tesserocr/tesserocr.pyx:476-487): per paragraph,
+        the reading-order position its cursor restarts to (its first span)."""
+        sl = self.get_iterator().filter(F.col("level") >= RIL.TEXTLINE)
+        return sl.groupBy("url", "block_id", "para_id").agg(
+            F.min("pos").alias("pos")
+        )
+
+    def restart_row(self) -> DataFrame:
+        """RestartRow (tesserocr/tesserocr.pyx:489-499): per textline, the
+        reading-order position its cursor restarts to."""
+        sl = self.get_iterator().filter(F.col("level") >= RIL.TEXTLINE)
+        return sl.groupBy("url", "block_id", "para_id", "line_id").agg(
+            F.min("pos").alias("pos")
+        )
+
     def symbol_attributes(self) -> DataFrame:
         from .attributes import symbol_attributes
 
@@ -421,9 +458,31 @@ class SparkPageAPI:
     ) -> "SparkPageAPI":
         """SetBoundingBoxComponents (tesserocr/tesserocr.pyx:570-583).
         Char-grid geometry has no above/below-body diacritics, so the flags
-        are recorded but never change a bbox (documented no-op)."""
-        self._bbox_components = (bool(include_upper_dots), bool(include_lower_dots))
+        never change a bbox (documented no-op) — but they are carried through
+        the immutable-config clone idiom like every other setter, so clones
+        (e.g. analyse_layout) see them."""
+        self.set_variable("bbox_include_upper_dots", "1" if include_upper_dots else "0")
+        return self.set_variable(
+            "bbox_include_lower_dots", "1" if include_lower_dots else "0"
+        )
+
+    def get_bounding_box_components(self) -> tuple[bool, bool]:
+        return (
+            self.config.get_bool_variable("bbox_include_upper_dots"),
+            self.config.get_bool_variable("bbox_include_lower_dots"),
+        )
+
+    def set_debug_variable(self, name: str, value: str) -> "SparkPageAPI":
+        """SetDebugVariable (tesserocr/tesserocr.pyx:1389-1411): same store
+        as SetVariable; unknown names raise (the name-lookup-failed signal)."""
+        self.clear()
+        self.config = self.config.with_debug_variable(name, value)
         return self
+
+    def set_min_orientation_margin(self, margin: float) -> "SparkPageAPI":
+        """set_min_orientation_margin (tesserocr/tesserocr.pyx:2648-2654):
+        OSD orientation margin config knob (no-op for the upright char grid)."""
+        return self.set_variable("min_orientation_margin", str(float(margin)))
 
     def set_source_resolution(self, ppi: int) -> "SparkPageAPI":
         """SetSourceResolution (tesserocr/tesserocr.pyx:1827-1833): source

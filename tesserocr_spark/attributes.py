@@ -64,6 +64,43 @@ def word_attributes(sl: DataFrame, dictionary: tuple[str, ...] = ()) -> DataFram
     )
 
 
+def word_recognition_language(docs: DataFrame) -> DataFrame:
+    """WordRecognitionLanguage (tesserocr/tesserocr.pyx:944-953): the language
+    used to recognize each word. The graft engine recognizes a whole page
+    under one language (the pages.lang column), so the accessor projects the
+    document language onto its WORD spans. Requires ``docs`` to carry the
+    ``lang`` column (extract_pages keeps it when the input has it)."""
+    sl = docs.select("url", "lang", F.explode("spans").alias("s")).select(
+        "url", "lang", "s.*"
+    )
+    return sl.filter((F.col("level") == RIL.WORD) & F.col("text").isNotNull()).select(
+        "url", "block_id", "para_id", "line_id", "word_id",
+        F.col("text").alias("word"),
+        F.col("lang").alias("recognition_lang"),
+    )
+
+
+#: the normalization law of WordNormedUTF8Text — lower + trim + the NFKC
+#: folds for every non-ASCII char the HTML extractor can emit (superscript
+#: digits, ellipsis, NBSP). Kept as a composable Column builder so the
+#: Spark side and the DuckDB oracle state the identical chain.
+def normed_word(col) -> "F.Column":
+    c = F.translate(F.lower(F.trim(col)), "¹²³", "123")
+    c = F.regexp_replace(c, "…", "...")
+    return F.regexp_replace(c, "\u00a0", " ")  # NBSP -> space
+
+
+def word_normed_text(sl: DataFrame) -> DataFrame:
+    """WordNormedUTF8Text (tesserocr/tesserocr.pyx:1002-1006): the normalized
+    recognition string per word — lowercased, trimmed, NFKC-folded for the
+    extractor's emittable non-ASCII set (see ``normed_word``)."""
+    return sl.filter((F.col("level") == RIL.WORD) & F.col("text").isNotNull()).select(
+        "url", "block_id", "para_id", "line_id", "word_id",
+        F.col("text").alias("word"),
+        normed_word(F.col("text")).alias("normed_text"),
+    )
+
+
 def symbol_attributes(sl: DataFrame) -> DataFrame:
     """SymbolIsSuperscript/Subscript/Dropcap (tesserocr/tesserocr.pyx:1018-1040)."""
     return sl.filter(F.col("level") == RIL.SYMBOL).select(

@@ -53,6 +53,15 @@ VARIABLE_DEFAULTS: dict[str, str] = {
     "max_html_bytes": "16777216",
     # source resolution in PPI (SetSourceResolution, tesserocr.pyx:1827-1833)
     "source_resolution": "70",
+    # OSD orientation margin (set_min_orientation_margin, tesserocr.pyx:
+    # 2648-2654; Tesseract default 7.0) — recorded config state; the HTML
+    # char grid is always upright so it never changes an OSD result here
+    "min_orientation_margin": "7.0",
+    # SetBoundingBoxComponents flags (tesserocr.pyx:570-583) — documented
+    # no-op for char-grid geometry (no above/below-body diacritics), but
+    # carried through the immutable-config idiom like every other setter
+    "bbox_include_upper_dots": "1",
+    "bbox_include_lower_dots": "1",
     # training-format knobs carried for config-file parity (tests/box.train)
     "file_type": "",
     "edges_childarea": "0.5",
@@ -141,6 +150,13 @@ class ExtractorConfig:
         if name not in VARIABLE_DEFAULTS:
             raise ValueError(f"unknown variable: {name}")
         return dataclasses.replace(self, variables={**self.variables, name: str(value)})
+
+    def with_debug_variable(self, name: str, value: str) -> "ExtractorConfig":
+        """SetDebugVariable analogue (tesserocr/tesserocr.pyx:1389-1411) —
+        the reference routes debug parameters through the same store as
+        SetVariable; here it is the identical whitelist-checked update
+        (unknown names raise, the engine's name-lookup-failed signal)."""
+        return self.with_variable(name, value)
 
     def with_psm(self, psm: int) -> "ExtractorConfig":
         """SetPageSegMode analogue (tesserocr/tesserocr.pyx:1656-1664)."""

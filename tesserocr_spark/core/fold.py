@@ -29,13 +29,17 @@ def _spans(spans) -> list[Span]:
 def fold_spans(spans, line_sep: str = "\n", para_sep: str = "\n") -> str:
     """Rebuild GetUTF8Text output from span rows (any level mix; uses WORD).
 
-    Law: within a line, words joined by ``blanks`` spaces; lines joined by
-    ``line_sep``; each paragraph terminated by ``line_sep``; paragraphs
-    separated by ``para_sep`` (a blank line at the "\\n" defaults).
+    Law: within a line, words joined by ``blanks`` spaces; every line
+    terminated by ``line_sep``; ``para_sep`` inserted AT THE END OF EACH
+    paragraph — the reference's documented semantics (SetLineSeparator /
+    SetParagraphSeparator, tesserocr/tesserocr.pyx:862-870: "inserted at the
+    end of each paragraph"), so non-default separators also terminate the
+    final paragraph.
 
-    ``line_sep``/``para_sep`` mirror SetLineSeparator / SetParagraphSeparator
-    (tesserocr/tesserocr.pyx:862-870); at the defaults the output is
-    byte-identical to the frozen law in extractor.py.
+    Exception: at the exact ("\\n", "\\n") defaults the frozen byte-identity
+    law (extractor.py docstring, oracle-locked since r01) normalizes away
+    the single trailing paragraph separator — the document ends with one
+    newline, paragraphs are blank-line separated.
     """
     words = [s for s in _spans(spans) if s.level == RIL.WORD and s.text is not None]
     words.sort(key=lambda s: (s.block_id, s.para_id, s.line_id, s.word_id))
@@ -60,7 +64,10 @@ def fold_spans(spans, line_sep: str = "\n", para_sep: str = "\n") -> str:
         cur_para.append("".join(cur_line))
     if cur_para:
         paras.append(line_sep.join(cur_para) + line_sep)
-    return para_sep.join(paras)
+    if (line_sep, para_sep) == ("\n", "\n"):
+        # frozen default law: trailing para_sep normalized away
+        return para_sep.join(paras)
+    return "".join(p + para_sep for p in paras)
 
 
 def tsv_rows(url: str, spans) -> list[str]:

@@ -362,19 +362,90 @@ def tesseract_rect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tesseract_rect(pages_from_documents(spark, sf_dir), 0, 0, 40, 1)
 
 
-@query("extract_full")  # rows-only: full struct over the seeded synthetic corpus
+@query(
+    "extract_full",
+    oracle=f"""WITH {SQL_PAGES},
+stats AS (
+  SELECT url, norm,
+         len(string_split(norm, ' ')) AS nw,
+         length(replace(norm, ' ', '')) AS nsym
+  FROM pages
+)
+SELECT url, norm || chr(10) AS extracted_text,
+       CAST(3 + nw + nsym AS INT) AS n_spans,
+       'Latin' AS script,
+       CAST(nw AS INT) AS n_words
+FROM stats""",
+)
 def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extraction struct over the richer synthetic corpus (multi-para,
-    boilerplate, figures, degenerate rows) — rows-only driver check; the
-    byte-level assertions live in pytest."""
-    from ..api import extract_pages
-    from ..pages import synthetic_pages
-
-    docs = extract_pages(synthetic_pages(spark, 300))
+    """The full Recognize struct (text + spans + osd + metrics) flattened to
+    oracle-stateable values over the frozen template corpus: every field is
+    a closed form of the document text (n_spans = 1 block + 1 para + 1 line
+    + words + symbols). The richer synthetic-corpus byte-level assertions
+    live in pytest (test_spark_extract)."""
+    docs = docs_for(spark, sf_dir)
     return docs.select(
         "url",
         "extracted_text",
         F.size("spans").alias("n_spans"),
         F.col("osd.script_name").alias("script"),
         F.col("metrics.n_words").alias("n_words"),
+    )
+
+
+#: 2-letter → 3-letter lang map in SQL (pages._LANG3 twin, lockstep).
+_SQL_RLANG = (
+    "CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu' WHEN 'fr' THEN 'fra'"
+    " WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'chi_sim' WHEN 'pt' THEN 'por'"
+    " WHEN 'it' THEN 'ita' WHEN 'ru' THEN 'rus' WHEN 'ja' THEN 'jpn'"
+    " WHEN 'nl' THEN 'nld' ELSE 'eng' END"
+)
+
+
+@query(
+    "word_recognition_language",
+    oracle=f"""WITH pages AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
+         {_SQL_RLANG} AS rlang
+  FROM documents
+),
+words AS (
+  SELECT url, rlang,
+         unnest(string_split(norm, ' ')) AS word,
+         generate_subscripts(string_split(norm, ' '), 1) - 1 AS pos
+  FROM pages
+)
+SELECT url, CAST(pos AS INT) AS word_id, word, rlang AS recognition_lang
+FROM words""",
+)
+def word_recognition_language_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordRecognitionLanguage (tesserocr/tesserocr.pyx:944-953): document
+    language projected onto WORD spans — checked against the documents.lang
+    column mapped through the frozen 2→3-letter law."""
+    from ..attributes import word_recognition_language
+
+    return word_recognition_language(docs_for(spark, sf_dir)).select(
+        "url", F.col("word_id").cast("int").alias("word_id"),
+        "word", "recognition_lang",
+    )
+
+
+@query(
+    "word_normed_text",
+    oracle=f"""WITH {SQL_WORDS}
+SELECT url, CAST(pos AS INT) AS word_id, word,
+       replace(replace(translate(lower(trim(word)), '¹²³', '123'),
+                       '…', '...'), chr(160), ' ') AS normed_text
+FROM words""",
+)
+def word_normed_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordNormedUTF8Text (tesserocr/tesserocr.pyx:1002-1006): the normalized
+    per-word string — lower/trim plus the NFKC folds of the extractor's
+    emittable non-ASCII set, stated identically in Spark and DuckDB."""
+    from ..attributes import word_normed_text
+
+    return word_normed_text(spans_long(docs_for(spark, sf_dir))).select(
+        "url", F.col("word_id").cast("int").alias("word_id"),
+        "word", "normed_text",
     )

@@ -93,11 +93,21 @@ def osd_sink(docs: DataFrame) -> DataFrame:
 
     @F.pandas_udf("string")
     def fmt(osd: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [osd_text(row._asdict() if hasattr(row, "_asdict") else dict(row))
-             for row in osd.itertuples(index=False)],
-            dtype="object",
-        )
+        out = []
+        for row in osd.itertuples(index=False):
+            d = row._asdict() if hasattr(row, "_asdict") else dict(row)
+            if d.get("orient_deg") is None or pd.isna(d.get("orient_deg")):
+                # a NULL osd struct arrives as a NaN-filled row — emit the
+                # documented defaults, not 'nan' (ADVICE r01)
+                out.append(osd_text(None))
+            else:
+                out.append(osd_text({
+                    "orient_deg": int(d["orient_deg"]),
+                    "orient_conf": float(d["orient_conf"]),
+                    "script_name": d["script_name"],
+                    "script_conf": float(d["script_conf"]),
+                }))
+        return pd.Series(out, dtype="object")
 
     return docs.select("url", fmt("osd").alias("osd"))
 

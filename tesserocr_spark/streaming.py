@@ -84,6 +84,8 @@ def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     the batch lineage (pmod(xxhash64(url), n_buckets)), so a streaming
     ingest and a batch backfill share one dedup law.
     """
+    import hashlib
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -93,14 +95,20 @@ def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     )
     state_schema = "seen array<long>"
 
+    def url_hash(u: str) -> int:
+        # the batch-lineage md5→int64 law (queries/registry.py docstring):
+        # stable across pandas/python upgrades, so checkpointed state is
+        # portable — unlike pd.util.hash_array (implementation-defined)
+        return int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+
     def fn(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
         bucket = key[0]
         for pdf in pdfs:
             pdf = pdf.drop_duplicates(subset=["url"])  # within-batch re-crawls
-            h = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
-            fresh = ~pd.Series(h).isin(seen).to_numpy()
-            seen.update(int(x) for x in h)
+            h = [url_hash(u) for u in pdf["url"]]
+            fresh = ~pd.Series(h, index=pdf.index).isin(seen).to_numpy()
+            seen.update(h)
             out = pdf.loc[fresh, ["url", "warc_ts", "html", "text", "lang"]].copy()
             if len(out):
                 out.insert(0, "bucket", bucket)

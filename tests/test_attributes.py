@@ -118,10 +118,51 @@ def test_custom_separators_refold(spark):
     assert default == "The quick brown fox\n\njumps over lazy dogs\n"
     api.set_line_separator(" | ").set_paragraph_separator("<PARA>")
     custom = api.get_utf8_text().first().text
-    assert custom == "The quick brown fox | <PARA>jumps over lazy dogs | "
+    # para_sep terminates EVERY paragraph (reference :868 "inserted at the
+    # end of each paragraph") — only the "\n"/"\n" default strips the last
+    assert custom == "The quick brown fox | <PARA>jumps over lazy dogs | <PARA>"
     # back to defaults -> byte-identical extraction-time text again
     api.set_line_separator("\n").set_paragraph_separator("\n")
     assert api.get_utf8_text().first().text == default
+    api.end()
+
+
+def test_word_recognition_language_and_normed_text(spark):
+    """WordRecognitionLanguage projects pages.lang onto word spans
+    (tesserocr.pyx:944-953); WordNormedUTF8Text lower/trim/NFKC-folds
+    (:1002-1006)."""
+    df = spark.createDataFrame(
+        [("u0", b"<main><p>The Quick 2<sup>8</sup> H\xc2\xb2O</p></main>", "deu")],
+        "url string, html binary, lang string",
+    )
+    api = SparkPageAPI(spark).set_pages(df)
+    langs = {r.word: r.recognition_lang
+             for r in api.word_recognition_language().collect()}
+    assert langs and set(langs.values()) == {"deu"}
+    normed = {r.word: r.normed_text for r in api.word_normed_text().collect()}
+    assert normed["The"] == "the"
+    assert normed["Quick"] == "quick"
+    # NFKC fold of the superscript digit the extractor emits
+    assert normed.get("H²O") == "h2o"
+    api.end()
+
+
+def test_begin_and_restart_positions(spark):
+    """Begin/RestartParagraph/RestartRow (tesserocr.pyx:472-499): stateless
+    restart positions — each paragraph/line's first reading-order pos."""
+    api = _api(spark, [TWO_PARAS])
+    it = api.begin()
+    assert it.orderBy("pos").first().pos == 0
+    paras = {(r.block_id, r.para_id): r.pos
+             for r in api.restart_paragraph().collect()}
+    rows = {(r.block_id, r.para_id, r.line_id): r.pos
+            for r in api.restart_row().collect()}
+    assert len(paras) == 2 and len(rows) == 2
+    # restart target of a paragraph == restart target of its first row
+    for (b, p), pos in paras.items():
+        assert rows[(b, p, 0)] == pos
+    # positions strictly increase across paragraphs
+    assert paras[(0, 0)] < paras[(0, 1)]
     api.end()
 
 
@@ -174,5 +215,23 @@ def test_source_resolution_pointsize_and_datapath(spark):
     assert api.word_font_attributes().first().pointsize == 6
     assert api.get_datapath() == "tesserocr_spark://builtin"
     assert api.set_bounding_box_components(False, True) is api
-    assert api._bbox_components == (False, True)
+    assert api.get_bounding_box_components() == (False, True)
+    # the flags live in the immutable config, so clones carry them
+    assert api.config.get_bool_variable("bbox_include_upper_dots") is False
+    api.end()
+
+
+def test_leaf_accessor_config_knobs(spark):
+    """SetDebugVariable / set_min_orientation_margin round-trip through the
+    config store (reference tesserocr.pyx:1389-1411, 2648-2654)."""
+    import pytest
+
+    api = _api(spark, [TWO_PARAS])
+    assert api.config.get_double_variable("min_orientation_margin") == 7.0
+    api.set_min_orientation_margin(11.5)
+    assert api.config.get_double_variable("min_orientation_margin") == 11.5
+    api.set_debug_variable("emit_symbols", "0")
+    assert api.config.get_variable("emit_symbols") == "0"
+    with pytest.raises(ValueError):
+        api.set_debug_variable("no_such_debug_param", "1")
     api.end()

@@ -84,6 +84,18 @@ class TestSinks:
         assert all(r.osd.startswith("Page 0: 0\n") for r in rows)
         assert all("Script: " in r.osd for r in rows)
 
+    def test_osd_sink_null_struct_defaults(self, spark):
+        """A NULL osd struct (NaN-filled through Arrow) must render the
+        documented defaults, never 'nan' (ADVICE r01)."""
+        base = _docs(spark, 3)
+        docs = base.withColumn("osd", F.lit(None).cast(base.schema["osd"].dataType))
+        rows = osd_sink(docs).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert "nan" not in r.osd
+            assert "Orientation in degrees: 0\n" in r.osd
+            assert "Script: \n" in r.osd
+
     def test_pdf_sink_textonly(self, spark):
         import pytest
 
