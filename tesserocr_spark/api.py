@@ -183,7 +183,7 @@ class SparkPageAPI:
                     rows = [ex.extract(h, region=region) for h in html]
                     return pd.DataFrame({
                         "extracted_text": [d.text for d in rows],
-                        "spans": [d.spans for d in rows],
+                        "spans": [d.raw_spans for d in rows],
                         "osd": [d.osd for d in rows],
                         "metrics": [d.metrics for d in rows],
                     })

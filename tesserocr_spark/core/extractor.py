@@ -67,6 +67,28 @@ def word_flags(word: str, base: int) -> int:
     return fl
 
 
+#: word -> (word_conf, content-derived flag bits) — both pure functions of
+#: the word, so the cache preserves byte identity; bounded for adversarial
+#: vocabularies (Zipf text hits it constantly)
+_WATTR_CACHE: dict[str, tuple] = {}
+_WATTR_CACHE_MAX = 1 << 17
+
+
+def _word_attrs(word: str) -> tuple:
+    ent = _WATTR_CACHE.get(word)
+    if ent is None:
+        if len(_WATTR_CACHE) >= _WATTR_CACHE_MAX:
+            _WATTR_CACHE.clear()
+        fl = 0
+        if _NUMERIC_RE.match(word):
+            fl |= FLAG_NUMERIC
+        if unicodedata.bidirectional(word[0]) in ("R", "AL"):
+            fl |= FLAG_RTL
+        ent = (95.0 - ((3 * len(word)) % 11), fl)
+        _WATTR_CACHE[word] = ent
+    return ent
+
+
 class Span(NamedTuple):
     """One span of the hierarchy. A NamedTuple (not a dict) so the Arrow
     conversion in the vectorized UDF maps fields positionally — measurably
@@ -91,6 +113,8 @@ def as_span(obj) -> Span:
     """Coerce a Spark Row / dict / tuple back into a Span (sinks path)."""
     if isinstance(obj, Span):
         return obj
+    if isinstance(obj, tuple) and len(obj) == 12:
+        return Span._make(obj)  # raw positional span from the hot path
     if isinstance(obj, dict):
         b = obj["bbox"]
         bbox = (b["x0"], b["y0"], b["x1"], b["y1"]) if isinstance(b, dict) else tuple(b)
@@ -102,15 +126,28 @@ def as_span(obj) -> Span:
 
 
 class ExtractedDoc:
-    """Result of extracting one document (the PAGE_RES analogue)."""
+    """Result of extracting one document (the PAGE_RES analogue).
 
-    __slots__ = ("text", "spans", "osd", "metrics")
+    ``raw_spans`` holds plain 12-tuples in Span field order — the vectorized
+    UDFs consume them positionally, and plain-tuple construction measures
+    ~9x cheaper than NamedTuple construction over a corpus (the single
+    hottest cost in the full-extraction path). ``spans`` is the typed Span
+    view for serializers/tests (built lazily, cached)."""
 
-    def __init__(self, text: str, spans: list[Span], osd: dict, metrics: dict) -> None:
+    __slots__ = ("text", "raw_spans", "osd", "metrics", "_span_view")
+
+    def __init__(self, text: str, raw_spans: list[tuple], osd: dict, metrics: dict) -> None:
         self.text = text
-        self.spans = spans
+        self.raw_spans = raw_spans
         self.osd = osd
         self.metrics = metrics
+        self._span_view: list[Span] | None = None
+
+    @property
+    def spans(self) -> list[Span]:
+        if self._span_view is None:
+            self._span_view = [Span._make(t) for t in self.raw_spans]
+        return self._span_view
 
 
 class Extractor:
@@ -329,7 +366,7 @@ class Extractor:
         blocks: list[Block],
         layout_only: bool,
         region: tuple[int, int, int, int] | None,
-    ) -> tuple[list[Span], str]:
+    ) -> tuple[list[tuple], str]:
         """Assign reading-order ids + char-grid geometry; build spans & text.
 
         Post-_resolve invariant: every text block has >=1 para, every para
@@ -339,11 +376,17 @@ class Extractor:
         blocks = self._resolve(blocks)
         if region is not None:
             blocks = self._rect_filter(blocks, region)
-        spans: list[Span] = []
+        # spans are PLAIN 12-tuples in Span field order (see ExtractedDoc):
+        # NamedTuple construction dominated the profile at corpus scale
+        spans: list[tuple] = []
+        append = spans.append
         para_renders: list[str] = []
         y = 0
         block_id = -1
         emit_syms = self._emit_symbols and not layout_only
+        word_attrs = _word_attrs
+        RWORD, RSYM, RLINE, RPARA, RBLOCK = (
+            RIL.WORD, RIL.SYMBOL, RIL.TEXTLINE, RIL.PARA, RIL.BLOCK)
 
         for blk in blocks:
             bt = blk.block_type
@@ -352,10 +395,10 @@ class Extractor:
                 # (Next() semantics, tesserocr/tesserocr.pyx:501-508)
                 block_id += 1
                 bb = (0, y, 0, y + 1)
-                spans.append(Span(RIL.BLOCK, block_id, -1, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
-                spans.append(Span(RIL.PARA, block_id, 0, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
-                spans.append(Span(RIL.TEXTLINE, block_id, 0, 0, -1, -1, bt, None, 0.0, 0, bb, 0))
-                spans.append(Span(RIL.WORD, block_id, 0, 0, 0, -1, bt, None, 0.0, 0, bb, 0))
+                append((RBLOCK, block_id, -1, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
+                append((RPARA, block_id, 0, -1, -1, -1, bt, None, 0.0, 0, bb, 0))
+                append((RLINE, block_id, 0, 0, -1, -1, bt, None, 0.0, 0, bb, 0))
+                append((RWORD, block_id, 0, 0, 0, -1, bt, None, 0.0, 0, bb, 0))
                 y += 1
                 continue
 
@@ -367,30 +410,31 @@ class Extractor:
             block_x1 = 0
             block_parts: list[str] = []
             bpos = len(spans)
-            spans.append(None)  # BLOCK placeholder, filled after children
+            append(None)  # BLOCK placeholder, filled after children
             for para_id, para in enumerate(blk.paras):
                 para_conf_sum = 0.0
                 para_nw = 0
                 py0 = y
                 px1 = 0
                 ppos = len(spans)
-                spans.append(None)  # PARA placeholder
+                append(None)  # PARA placeholder
                 para_lines: list[str] = []
                 for line_id, line in enumerate(para):
                     col = 0
                     line_conf_sum = 0.0
                     parts: list[str] = []
                     lpos = len(spans)
-                    spans.append(None)  # LINE placeholder
+                    append(None)  # LINE placeholder
                     for word_id, (wtext, wflags, wchar_flags) in enumerate(line):
                         blanks = 0 if word_id == 0 else 1
                         col += blanks
-                        x0, x1c = col, col + len(wtext)
+                        x0 = col
+                        x1c = col + len(wtext)
                         col = x1c
-                        cf = word_conf(wtext)
-                        fl = word_flags(wtext, wflags) | boiler_flag
-                        spans.append(Span(
-                            RIL.WORD, block_id, para_id, line_id, word_id, -1, bt,
+                        cf, cbits = word_attrs(wtext)
+                        fl = cbits | wflags | boiler_flag
+                        append((
+                            RWORD, block_id, para_id, line_id, word_id, -1, bt,
                             None if layout_only else wtext, cf, blanks,
                             (x0, y, x1c, y + 1), fl))
                         line_conf_sum += cf
@@ -399,16 +443,16 @@ class Extractor:
                             for si, ch in enumerate(wtext):
                                 # per-symbol style from the char, other bits
                                 # from the word (tesserocr.pyx:1018-1040)
-                                spans.append(Span(
-                                    RIL.SYMBOL, block_id, para_id, line_id, word_id,
+                                append((
+                                    RSYM, block_id, para_id, line_id, word_id,
                                     si, bt, ch, cf, 0,
                                     (x0 + si, y, x0 + si + 1, y + 1),
                                     base | (wchar_flags[si] & STYLE_MASK)))
                         parts.append(wtext)
                     nw = len(line)
                     ltext = " ".join(parts)
-                    spans[lpos] = Span(
-                        RIL.TEXTLINE, block_id, para_id, line_id, -1, -1, bt,
+                    spans[lpos] = (
+                        RLINE, block_id, para_id, line_id, -1, -1, bt,
                         None if layout_only else ltext, line_conf_sum / nw, 0,
                         (0, y, len(ltext), y + 1), boiler_flag)
                     para_conf_sum += line_conf_sum
@@ -418,8 +462,8 @@ class Extractor:
                         px1 = len(ltext)
                     y += 1
                 ptext = "\n".join(para_lines)
-                spans[ppos] = Span(
-                    RIL.PARA, block_id, para_id, -1, -1, -1, bt,
+                spans[ppos] = (
+                    RPARA, block_id, para_id, -1, -1, -1, bt,
                     None if layout_only else ptext + "\n", para_conf_sum / para_nw,
                     0, (0, py0, px1, y), boiler_flag)
                 block_conf_sum += para_conf_sum
@@ -428,8 +472,8 @@ class Extractor:
                 para_renders.append(ptext + "\n")
                 if px1 > block_x1:
                     block_x1 = px1
-            spans[bpos] = Span(
-                RIL.BLOCK, block_id, -1, -1, -1, -1, bt,
+            spans[bpos] = (
+                RBLOCK, block_id, -1, -1, -1, -1, bt,
                 None if layout_only else "".join(block_parts),
                 block_conf_sum / block_nw, 0,
                 (0, block_y0, block_x1, y), boiler_flag)
@@ -437,12 +481,13 @@ class Extractor:
         doc_text = "" if layout_only else "\n".join(para_renders)
         return spans, doc_text
 
-    def _metrics(self, html_bytes: int, spans: list[Span], truncated: bool) -> dict:
+    def _metrics(self, html_bytes: int, spans: list[tuple], truncated: bool) -> dict:
         n = {RIL.BLOCK: 0, RIL.PARA: 0, RIL.TEXTLINE: 0, RIL.WORD: 0, RIL.SYMBOL: 0}
         boiler = 0
-        for s in spans:
-            n[s.level] += 1
-            if s.level == RIL.BLOCK and s.flags & FLAG_BOILERPLATE:
+        for s in spans:  # raw positional spans: s[0]=level, s[11]=flags
+            lvl = s[0]
+            n[lvl] += 1
+            if lvl == RIL.BLOCK and s[11] & FLAG_BOILERPLATE:
                 boiler += 1
         return {
             "html_bytes": html_bytes,

@@ -22,6 +22,7 @@ import re
 from html.parser import HTMLParser
 
 from ..constants import BLOCK_TAGS, BOILERPLATE_TAGS, PT, TAG_TO_PT
+from .tokenizer import fast_feed
 
 #: tags that establish a new block-grouping region.
 REGION_TAGS = frozenset(
@@ -39,8 +40,18 @@ _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
 #: *contains* a newline is ordinary whitespace, not a line break)
 _BR_STYLE = -1
 
+#: tags whose subtree payload is never visible text (checked against the
+#: open-tag stack in handle_data)
+_SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "title", "head"))
+
 #: shared all-zero char-flag tuples keyed by word length (allocation saver)
 _ZERO_CACHE: dict[int, tuple] = {}
+
+#: unstyled word -> ((word, 0, zeros), sentence_end) — pure function of the
+#: word, so caching preserves byte identity; bounded against adversarial
+#: vocabularies (cleared wholesale, keeping amortized O(1))
+_WORD_CACHE: dict[str, tuple] = {}
+_WORD_CACHE_MAX = 1 << 17
 
 
 def _zeros(n: int) -> tuple:
@@ -186,17 +197,20 @@ class _Segmenter(HTMLParser):
             self._italic_depth -= 1
         elif tag in ("code", "tt", "pre", "kbd", "samp") and self._mono_depth > 0:
             self._mono_depth -= 1
-        # pop matching open tag if present (tolerates malformed nesting)
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i] == tag:
-                del self._stack[i:]
-                break
+        # pop matching open tag if present (tolerates malformed nesting);
+        # well-nested markup hits the O(1) top-of-stack case
+        stack = self._stack
+        if stack:
+            if stack[-1] == tag:
+                stack.pop()
+            else:
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i] == tag:
+                        del stack[i:]
+                        break
 
     def handle_data(self, data: str) -> None:
-        if self._boiler_depth > 0 and any(
-            t in ("script", "style", "noscript", "template", "title", "head")
-            for t in self._stack
-        ):
+        if self._boiler_depth > 0 and not _SKIP_TAGS.isdisjoint(self._stack):
             return  # script/style/head payloads are never visible text
         if not data:
             return
@@ -218,9 +232,24 @@ class _Segmenter(HTMLParser):
 def parse_paragraphs(html_text: str) -> list[RawParagraph]:
     """Tokenize + segment one HTML document into RawParagraphs.
 
-    Tolerant of malformed/unclosed markup (HTMLParser never raises on it);
-    plain text with no tags becomes a single body paragraph.
+    The fast regex tokenizer (core/tokenizer.py) handles the common grammar
+    ~4x cheaper than the stdlib parser and emits the identical event stream
+    (equivalence enforced by tests/test_tokenizer.py); documents with
+    constructs outside its grammar (unterminated tags, ``<![`` sections)
+    re-run on the stdlib ``HTMLParser`` path, which tolerates anything.
     """
+    seg = _Segmenter()
+    if fast_feed(html_text, seg):
+        seg._flush()
+        return seg.paragraphs
+    return parse_paragraphs_stdlib(html_text)
+
+
+def parse_paragraphs_stdlib(html_text: str) -> list[RawParagraph]:
+    """Stdlib-tokenizer segmentation: the fallback for documents outside the
+    fast grammar, and the behavioral reference the fast path is tested
+    against. Tolerant of malformed/unclosed markup (HTMLParser never raises
+    on it); plain text with no tags becomes a single body paragraph."""
     seg = _Segmenter()
     try:
         seg.feed(html_text)
@@ -248,13 +277,22 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
     reference symbol attributes tesserocr/tesserocr.pyx:1018-1040).
     """
     # fast path: no <br>, every fragment unstyled (the overwhelmingly common
-    # case for web text) — pure regex split, no per-char bookkeeping
+    # case for web text) — pure regex split, no per-char bookkeeping; the
+    # per-word (word, 0, zeros) tuple and its sentence-end flag are cached
+    # (web text is Zipf-distributed, so the hit rate is high)
     if all(f.style == 0 for f in para.frags):
         lines: list[list[tuple[str, int, tuple]]] = []
         cur: list[tuple[str, int, tuple]] = []
+        cache = _WORD_CACHE
         for w in " ".join(f.text for f in para.frags).split():
-            cur.append((w, 0, _zeros(len(w))))
-            if w[-1] in ".!?…" and len(w) > 1:
+            ent = cache.get(w)
+            if ent is None:
+                if len(cache) >= _WORD_CACHE_MAX:
+                    cache.clear()
+                ent = ((w, 0, _zeros(len(w))), w[-1] in ".!?…" and len(w) > 1)
+                cache[w] = ent
+            cur.append(ent[0])
+            if ent[1]:
                 lines.append(cur)
                 cur = []
         if cur:

@@ -86,7 +86,7 @@ def make_extract_udf(
                 continue
             doc = ex.extract(raw)
             texts.append(doc.text)
-            spans.append(doc.spans)
+            spans.append(doc.raw_spans)
             osds.append(doc.osd)
             metrics.append(doc.metrics)
         return pd.DataFrame(
@@ -129,9 +129,9 @@ def make_extract_columns_udf(
                 rows.append((None,) + ((),) * 15 + (None, None))
                 continue
             d = ex.extract(raw)
-            if d.spans:
+            if d.raw_spans:
                 (level, bid, pid, lid, wid, sid, bt, text, conf, blanks,
-                 bbox, flags) = zip(*d.spans)
+                 bbox, flags) = zip(*d.raw_spans)
                 x0, y0, x1, y1 = zip(*bbox)
                 cols = (level, bid, pid, lid, wid, sid, bt, blanks,
                         x0, y0, x1, y1, flags, text, conf)
@@ -161,7 +161,7 @@ def make_spans_long_kernel(
             urls: list[str] = []
             all_spans: list = []
             for u, raw in zip(pdf["url"], pdf["html"]):
-                spans = ex.extract(raw).spans
+                spans = ex.extract(raw).raw_spans
                 all_spans.extend(spans)
                 urls.extend([u] * len(spans))
             if not all_spans:
