@@ -88,18 +88,38 @@ def extract_spans_long(
     """pages -> flat span rows (SPANS_LONG_SCHEMA): the corpus-scale path
     for span analytics.
 
-    Plan: columnar UDF transport -> JVM-side posexplode of the re-zipped
-    nested column. Measured 1.7x FASTER than a mapInPandas kernel that
-    emits the exploded rows from Python — per-span rows through Arrow cost
-    more than per-document arrays + codegen'd explode (the explode itself
-    is whole-stage-codegen'd and never touches Python)."""
-    sl = spans_long(extract_pages(pages.select("url", "html"), config))
-    return sl.select(
-        "url", "level", "block_id", "para_id", "line_id", "word_id",
-        "symbol_id", "block_type", "text", "conf", "blanks",
-        F.col("bbox.x0").alias("x0"), F.col("bbox.y0").alias("y0"),
-        F.col("bbox.x1").alias("x1"), F.col("bbox.y1").alias("y1"),
-        "flags",
+    Plan: columnar UDF transport -> ONE flat arrays_zip -> posexplode.
+    Measured 1.7x faster than a mapInPandas kernel emitting exploded rows
+    from Python (per-span rows through Arrow cost more than per-document
+    arrays + codegen'd explode), and 4x faster than exploding the public
+    nested ``spans`` column — rebuilding the bbox sub-struct per span just
+    to flatten it again dominated that plan's Generate."""
+    from .udf import make_extract_columns_udf
+
+    udf = make_extract_columns_udf(config)
+    cols = pages.select("url", udf(F.col("html")).alias("r"))
+    z = F.arrays_zip(
+        F.col("r.level").alias("level"),
+        F.col("r.block_id").alias("block_id"),
+        F.col("r.para_id").alias("para_id"),
+        F.col("r.line_id").alias("line_id"),
+        F.col("r.word_id").alias("word_id"),
+        F.col("r.symbol_id").alias("symbol_id"),
+        F.col("r.block_type").alias("block_type"),
+        F.col("r.s_text").alias("text"),
+        F.col("r.s_conf").alias("conf"),
+        F.col("r.blanks").alias("blanks"),
+        F.col("r.x0").alias("x0"), F.col("r.y0").alias("y0"),
+        F.col("r.x1").alias("x1"), F.col("r.y1").alias("y1"),
+        F.col("r.flags").alias("flags"),
+    )
+    return (
+        cols.select("url", F.posexplode(z).alias("pos", "s"))
+        .select(
+            "url", "s.level", "s.block_id", "s.para_id", "s.line_id",
+            "s.word_id", "s.symbol_id", "s.block_type", "s.text", "s.conf",
+            "s.blanks", "s.x0", "s.y0", "s.x1", "s.y1", "s.flags",
+        )
     )
 
 

