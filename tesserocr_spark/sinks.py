@@ -68,14 +68,73 @@ def _spans_format_udf(formatter):
     return fmt
 
 
+#: HTML-escape chain identical to html.escape(quote=True) — order matters
+#: (& first), law shared with core.fold's Python serializers.
+def _esc(col: str) -> str:
+    out = f"coalesce({col}, '')"
+    for a, b in (("'&'", "'&amp;'"), ("'<'", "'&lt;'"), ("'>'", "'&gt;'"),
+                 ("'\"'", "'&quot;'"), ('"\'"', "'&#x27;'")):
+        out = f"replace({out}, {a}, {b})"
+    return out
+
+
+def _hocr_expr(font_info: bool) -> str:
+    """hOCR document as ONE Catalyst expression over (url, spans).
+
+    The spans array is emitted in pre-order (BLOCK, PARA, LINE, WORD...), so
+    each span maps to its opening markup and a WORD additionally closes the
+    line/para/block levels its successor re-opens — a per-element lookahead,
+    no sorting. Byte-identical to core.fold.hocr_text (locked by
+    tests/test_sinks_jobs.py); keeps the hOCR sink stage fully JVM-side
+    (whole-stage codegen, zero Python) like the TSV sink."""
+    bb = "'bbox ', s.bbox.x0, ' ', s.bbox.y0, ' ', s.bbox.x1, ' ', s.bbox.y1"
+    font = (
+        "'; x_font ', coalesce(nullif(concat_ws('+', "
+        "CASE WHEN (s.flags & 256) != 0 THEN 'mono' END, "
+        "CASE WHEN (s.flags & 64) != 0 THEN 'bold' END, "
+        "CASE WHEN (s.flags & 128) != 0 THEN 'italic' END), ''), 'default'), "
+        if font_info else ""
+    )
+    word = (
+        "concat('<span class=\"ocrx_word\" title=\"', " + bb + ", "
+        "'; x_wconf ', cast(s.conf as int), " + font + "'\">', "
+        + _esc("s.text") + ", '</span>')"
+    )
+    closes = (
+        "CASE WHEN i + 2 > size(f) THEN array('</span>', '</p>', '</div>') "
+        "ELSE CASE element_at(f, i + 2).level "
+        "WHEN 3 THEN cast(array() as array<string>) "
+        "WHEN 2 THEN array('</span>') "
+        "WHEN 1 THEN array('</span>', '</p>') "
+        "ELSE array('</span>', '</p>', '</div>') END END"
+    )
+    piece = (
+        "CASE s.level "
+        "WHEN 0 THEN array(concat('<div class=\"ocr_carea\" id=\"block_1_', "
+        "s.block_id + 1, '\" title=\"', " + bb + ", '\">')) "
+        "WHEN 1 THEN array(concat('<p class=\"ocr_par\" title=\"', " + bb + ", '\">')) "
+        "WHEN 2 THEN array(concat('<span class=\"ocr_line\" title=\"', " + bb + ", '\">')) "
+        "ELSE concat(array(" + word + "), " + closes + ") END"
+    )
+    return (
+        "concat_ws('\\n', concat(array(concat('<div class=\"ocr_page\" "
+        "id=\"page_1\" title=\"image ', " + _esc("url") + ", '\">')), "
+        "flatten(transform(f, (s, i) -> " + piece + ")), array('</div>')))"
+    )
+
+
 def hocr_sink(docs: DataFrame, font_info: bool = False) -> DataFrame:
     """GetHOCRText (tesserocr/tesserocr.pyx:2411-2425) per document.
     ``font_info`` mirrors the hocr_font_info flag read by _get_renderer
-    (tesserocr/tesserocr.pyx:2206-2208)."""
-    from .core.fold import hocr_text
-
-    udf = _spans_format_udf(lambda u, sp: hocr_text(u, sp, font_info=font_info))
-    return docs.select("url", udf("url", "spans").alias("hocr"))
+    (tesserocr/tesserocr.pyx:2206-2208). Pure expression — no Python in
+    the sink stage (core.fold.hocr_text is the tested reference twin)."""
+    return docs.select(
+        "url", F.col("spans").alias("all_spans")
+    ).select(
+        "url", F.expr("filter(all_spans, s -> s.level < 4)").alias("f")
+    ).select(
+        "url", F.expr(_hocr_expr(font_info)).alias("hocr")
+    )
 
 
 def alto_sink(docs: DataFrame) -> DataFrame:

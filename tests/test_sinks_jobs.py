@@ -61,6 +61,30 @@ class TestSinks:
         u = unlv_sink(docs).collect()
         assert any("^" in r.unlv for r in u)  # suspect markers exist
 
+    def test_hocr_expression_matches_python_serializer(self, spark):
+        # the production hOCR sink is a pure Catalyst expression; the Python
+        # serializer in core.fold is its byte-law twin — lock both modes
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.core.fold import hocr_text
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 60)
+        ex = Extractor()
+        for fi in (False, True):
+            got = {r.url: r.hocr for r in hocr_sink(docs, font_info=fi).collect()}
+            for i in range(60):
+                url, _ts, html, _t, _l = make_page(i)
+                assert got[url] == hocr_text(
+                    url, ex.extract(html).spans, font_info=fi
+                ), f"hOCR mismatch page {i} font_info={fi}"
+
+    def test_hocr_sink_plan_has_no_python(self, spark):
+        # the sink stage must stay JVM-side: no ArrowEvalPython/BatchEvalPython
+        df = hocr_sink(_docs(spark, 3))
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        # extraction upstream is the one allowed Python boundary
+        assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
+
     def test_alto_sink_well_formed(self, spark):
         import xml.etree.ElementTree as ET
 
