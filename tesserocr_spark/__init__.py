@@ -13,13 +13,14 @@ cited throughout as tesserocr/tesserocr.pyx:line.
 __version__ = "0.1.0"
 
 from .config import DEFAULT_CONFIG, ExtractorConfig, read_config_file
-from .constants import DIR, OEM, PSM, PT, RIL, Justification, Orientation
+from .constants import DIR, OEM, PSM, PT, RIL, Justification, LeptLogLevel, Orientation
 
 __all__ = [
     "DEFAULT_CONFIG",
     "DIR",
     "ExtractorConfig",
     "Justification",
+    "LeptLogLevel",
     "OEM",
     "Orientation",
     "PSM",
@@ -27,9 +28,36 @@ __all__ = [
     "RIL",
     "__version__",
     "read_config_file",
+    "set_leptonica_log_level",
 ]
 
 
 def tesseract_version() -> str:
     """Version string (reference tesseract_version, tesserocr/tesserocr.pyx:2782-2788)."""
     return f"tesserocr_spark {__version__}"
+
+
+#: LeptLogLevel -> log4j level for set_leptonica_log_level.
+_LEPT_TO_LOG4J = {
+    0: "WARN",   # EXTERNAL: defer to environment default
+    1: "ALL",
+    2: "DEBUG",
+    3: "INFO",
+    4: "WARN",
+    5: "ERROR",
+    6: "OFF",
+}
+
+
+def set_leptonica_log_level(spark, level: int) -> None:
+    """set_leptonica_log_level (reference tesserocr/tesserocr.pyx:2828-2833):
+    the reference routes message severity to Leptonica's ``setMsgSeverity``;
+    the graft's imaging backend is the Spark engine itself, so the severity
+    maps onto the SparkContext's log4j level (:class:`LeptLogLevel` values).
+    """
+    try:
+        lvl = _LEPT_TO_LOG4J[int(level)]
+    except (KeyError, ValueError) as exc:
+        raise ValueError(f"unknown LeptLogLevel: {level!r}") from exc
+    sc = getattr(spark, "sparkContext", spark)  # accept session or context
+    sc.setLogLevel(lvl)

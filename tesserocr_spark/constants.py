@@ -148,6 +148,20 @@ class DIR:
     MIX = 3
 
 
+class LeptLogLevel:
+    """Leptonica log severity (reference tesserocr/tesserocr.pyx:335-352).
+    Values mirror Leptonica's L_SEVERITY_* ordering; the graft maps them to
+    the engine's own log backend (log4j via ``set_leptonica_log_level``)."""
+
+    EXTERNAL = 0  # severity from the environment
+    ALL = 1
+    DEBUG = 2
+    INFO = 3
+    WARNING = 4
+    ERROR = 5
+    NONE = 6
+
+
 #: DOM tags that open a new block region during segmentation.
 BLOCK_TAGS = frozenset(
     "p div main article section h1 h2 h3 h4 h5 h6 li ul ol table tr figure "

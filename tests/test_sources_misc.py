@@ -69,3 +69,17 @@ def test_misc_accessors(spark):
     from tesserocr_spark import tesseract_version
 
     assert "tesserocr_spark" in tesseract_version()
+
+
+def test_set_leptonica_log_level(spark):
+    """set_leptonica_log_level (reference tesserocr/tesserocr.pyx:2828-2833)
+    maps LeptLogLevel onto the engine's log backend; invalid levels raise."""
+    import pytest
+
+    from tesserocr_spark import LeptLogLevel, set_leptonica_log_level
+
+    set_leptonica_log_level(spark, LeptLogLevel.NONE)
+    set_leptonica_log_level(spark.sparkContext, LeptLogLevel.DEBUG)  # ctx too
+    with pytest.raises(ValueError, match="LeptLogLevel"):
+        set_leptonica_log_level(spark, 42)
+    set_leptonica_log_level(spark, LeptLogLevel.ERROR)  # restore quiet tests
