@@ -137,12 +137,66 @@ def hocr_sink(docs: DataFrame, font_info: bool = False) -> DataFrame:
     )
 
 
-def alto_sink(docs: DataFrame) -> DataFrame:
-    """TessAltoRenderer (tesserocr/tesserocr.pyx:2201-2203): ALTO-XML per doc."""
-    from .core.fold import alto_text
+def _alto_expr() -> str:
+    """ALTO-XML document as ONE Catalyst expression over (url, f) — the same
+    pre-order/lookahead scheme as ``_hocr_expr``; byte-identical twin of
+    core.fold.alto_text (locked by tests/test_sinks_jobs.py)."""
+    def geo(pre: str = "s") -> str:
+        return (
+            f"'HPOS=\"', {pre}.bbox.x0, '\" VPOS=\"', {pre}.bbox.y0, "
+            f"'\" WIDTH=\"', {pre}.bbox.x1 - {pre}.bbox.x0, "
+            f"'\" HEIGHT=\"', {pre}.bbox.y1 - {pre}.bbox.y0, '\"'"
+        )
 
-    udf = _spans_format_udf(alto_text)
-    return docs.select("url", udf("url", "spans").alias("alto"))
+    word = (
+        "concat(CASE WHEN s.blanks > 0 THEN concat('<SP WIDTH=\"', s.blanks, "
+        "'\"/>\\n') ELSE '' END, '<String ', " + geo() + ", "
+        "' WC=\"', format_number(s.conf / 100, 2), '\" CONTENT=\"', "
+        + _esc("s.text") + ", '\"/>')"
+    )
+    closes = (
+        "CASE WHEN i + 2 > size(f) "
+        "THEN array('</TextLine>', '</TextBlock>', '</ComposedBlock>') "
+        "ELSE CASE element_at(f, i + 2).level "
+        "WHEN 3 THEN cast(array() as array<string>) "
+        "WHEN 2 THEN array('</TextLine>') "
+        "WHEN 1 THEN array('</TextLine>', '</TextBlock>') "
+        "ELSE array('</TextLine>', '</TextBlock>', '</ComposedBlock>') END END"
+    )
+    piece = (
+        "CASE s.level "
+        "WHEN 0 THEN array(concat('<ComposedBlock ID=\"cblock_', s.block_id, "
+        "'\" ', " + geo() + ", '>')) "
+        "WHEN 1 THEN array(concat('<TextBlock ID=\"block_', s.block_id, '_', "
+        "s.para_id, '\" ', " + geo() + ", '>')) "
+        "WHEN 2 THEN array(concat('<TextLine ', " + geo() + ", '>')) "
+        "ELSE concat(array(" + word + "), " + closes + ") END"
+    )
+    pw = "coalesce(array_max(transform(f, s -> s.bbox.x1)), 0)"
+    ph = "coalesce(array_max(transform(f, s -> s.bbox.y1)), 0)"
+    return (
+        "concat_ws('\\n', concat(array("
+        "'<alto xmlns=\"http://www.loc.gov/standards/alto/ns-v3#\">', "
+        "concat('<Description><MeasurementUnit>pixel</MeasurementUnit>"
+        "<sourceImageInformation><fileName>', " + _esc("url") + ", "
+        "'</fileName></sourceImageInformation></Description>'), "
+        "'<Layout>', "
+        "concat('<Page WIDTH=\"', " + pw + ", '\" HEIGHT=\"', " + ph + ", "
+        "'\" PHYSICAL_IMG_NR=\"0\" ID=\"page_0\">'), "
+        "concat('<PrintSpace HPOS=\"0\" VPOS=\"0\" WIDTH=\"', " + pw + ", "
+        "'\" HEIGHT=\"', " + ph + ", '\">')), "
+        "flatten(transform(f, (s, i) -> " + piece + ")), "
+        "array('</PrintSpace>', '</Page>', '</Layout>', '</alto>')))"
+    )
+
+
+def alto_sink(docs: DataFrame) -> DataFrame:
+    """TessAltoRenderer (tesserocr/tesserocr.pyx:2201-2203): ALTO-XML per
+    doc. Pure expression — no Python in the sink stage (core.fold.alto_text
+    is the tested reference twin)."""
+    return docs.select(
+        "url", F.expr("filter(spans, s -> s.level < 4)").alias("f")
+    ).select("url", F.expr(_alto_expr()).alias("alto"))
 
 
 def osd_sink(docs: DataFrame) -> DataFrame:

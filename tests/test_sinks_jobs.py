@@ -85,6 +85,25 @@ class TestSinks:
         # extraction upstream is the one allowed Python boundary
         assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
 
+    def test_alto_expression_matches_python_serializer(self, spark):
+        # expression ALTO sink == core.fold.alto_text, byte for byte
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.core.fold import alto_text
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 60)
+        got = {r.url: r.alto for r in alto_sink(docs).collect()}
+        ex = Extractor()
+        for i in range(60):
+            url, _ts, html, _t, _l = make_page(i)
+            assert got[url] == alto_text(url, ex.extract(html).spans), \
+                f"ALTO mismatch page {i}"
+
+    def test_alto_sink_plan_has_no_python(self, spark):
+        df = alto_sink(_docs(spark, 3))
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
+
     def test_alto_sink_well_formed(self, spark):
         import xml.etree.ElementTree as ET
 
