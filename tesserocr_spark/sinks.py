@@ -11,8 +11,11 @@ Format notes:
 * txt  — one line per document: ``url \\t json-escaped text`` (newline-safe).
 * tsv  — GetTSVText: spans_long projected to the reference's column order —
   a pure JVM projection, no Python.
-* hocr/box/unlv — per-document formatted strings from the shared core
-  serializers, applied via one vectorized UDF over the spans column.
+* hocr/alto/box/unlv — rendered by pure Catalyst expressions over the
+  pre-order spans array (zero Python in the sink stage); the Python
+  serializers in core.fold are their byte-law twins, locked by equality
+  tests over the synthetic corpus.
+* osd/pdf — per-document Python (tiny fixed-shape outputs).
 """
 
 from __future__ import annotations
@@ -52,20 +55,6 @@ def tsv_sink(docs: DataFrame) -> DataFrame:
         F.round("conf", 2).alias("conf"),
         F.when(F.col("level") >= 3, F.coalesce("text", F.lit(""))).otherwise("").alias("text"),
     )
-
-
-def _spans_format_udf(formatter):
-    """Wrap a core serializer (spans list -> str) as a vectorized UDF.
-    Arrow hands spans back as dicts; ``as_span`` in the serializers coerces."""
-
-    @F.pandas_udf("string")
-    def fmt(url: pd.Series, spans: pd.Series) -> pd.Series:
-        out = []
-        for u, sp in zip(url, spans):
-            out.append(formatter(u, [] if sp is None else list(sp)))
-        return pd.Series(out, dtype="object")
-
-    return fmt
 
 
 #: HTML-escape chain identical to html.escape(quote=True) — order matters
@@ -245,19 +234,49 @@ def pdf_sink(docs: DataFrame, textonly: bool = True) -> DataFrame:
 
 
 def box_sink(docs: DataFrame) -> DataFrame:
-    """GetBoxText (tesserocr/tesserocr.pyx:2443-2460): symbol box lines."""
-    from .core.fold import box_rows
+    """GetBoxText (tesserocr/tesserocr.pyx:2443-2460): symbol box lines.
+    The spans array is pre-order, so the reference's id-sorted emission is a
+    single filter + transform — pure expression (core.fold.box_rows is the
+    tested twin)."""
+    return docs.select(
+        "url",
+        F.expr(
+            "concat_ws('\\n', transform("
+            "filter(spans, s -> s.level = 4 AND s.text IS NOT NULL), "
+            "s -> concat(s.text, ' ', s.bbox.x0, ' ', s.bbox.y0, ' ', "
+            "s.bbox.x1, ' ', s.bbox.y1, ' 0')))"
+        ).alias("box"),
+    )
 
-    udf = _spans_format_udf(lambda _u, rows: "\n".join(box_rows(rows)))
-    return docs.select("url", udf("url", "spans").alias("box"))
+
+#: UNLV fold law as one expression: per-word separator from the previous
+#: WORD span (same line -> blanks spaces; same para -> newline; else blank
+#: line), '^' before conf<88 words, one trailing newline — byte-identical to
+#: core.fold.unlv_text / fold_spans (frozen fold law, core/extractor.py).
+_UNLV_EXPR = """
+CASE WHEN size(w) = 0 THEN '' ELSE concat(concat_ws('', transform(w, (s, i) ->
+  concat(
+    CASE WHEN i = 0 THEN ''
+         WHEN s.block_id = element_at(w, i).block_id
+          AND s.para_id = element_at(w, i).para_id
+          AND s.line_id = element_at(w, i).line_id
+           THEN repeat(' ', s.blanks)
+         WHEN s.block_id = element_at(w, i).block_id
+          AND s.para_id = element_at(w, i).para_id
+           THEN '\\n'
+         ELSE '\\n\\n' END,
+    CASE WHEN s.conf < 88.0D THEN '^' ELSE '' END,
+    s.text))), '\\n') END
+"""
 
 
 def unlv_sink(docs: DataFrame) -> DataFrame:
-    """GetUNLVText (tesserocr/tesserocr.pyx:2462-2473): suspect-marked fold."""
-    from .core.fold import unlv_text
-
-    udf = _spans_format_udf(lambda _u, rows: unlv_text(rows))
-    return docs.select("url", udf("url", "spans").alias("unlv"))
+    """GetUNLVText (tesserocr/tesserocr.pyx:2462-2473): suspect-marked fold,
+    pure expression (core.fold.unlv_text is the tested twin)."""
+    return docs.select(
+        "url",
+        F.expr("filter(spans, s -> s.level = 3 AND s.text IS NOT NULL)").alias("w"),
+    ).select("url", F.expr(_UNLV_EXPR).alias("unlv"))
 
 
 #: variable name -> (suffix, sink builder, writer) — the renderer registry

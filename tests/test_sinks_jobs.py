@@ -104,6 +104,25 @@ class TestSinks:
         s = df._jdf.queryExecution().optimizedPlan().toString()
         assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
 
+    def test_box_unlv_expressions_match_python_serializers(self, spark):
+        # box and unlv sinks are pure expressions; core.fold twins lock them
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.core.fold import box_rows, unlv_text
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 60)
+        gb = {r.url: r.box for r in box_sink(docs).collect()}
+        gu = {r.url: r.unlv for r in unlv_sink(docs).collect()}
+        ex = Extractor()
+        for i in range(60):
+            url, _ts, html, _t, _l = make_page(i)
+            sp = ex.extract(html).spans
+            assert gb[url] == "\n".join(box_rows(sp)), f"box mismatch page {i}"
+            assert gu[url] == unlv_text(sp), f"unlv mismatch page {i}"
+        for df in (box_sink(_docs(spark, 3)), unlv_sink(_docs(spark, 3))):
+            s = df._jdf.queryExecution().optimizedPlan().toString()
+            assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
+
     def test_alto_sink_well_formed(self, spark):
         import xml.etree.ElementTree as ET
 
