@@ -212,7 +212,7 @@ class Extractor:
             if blk.is_image:
                 continue
             for para in blk.paras:
-                lines = [" ".join(w for w, _fl, _cfl in line) for line in para if line]
+                lines = [" ".join([t[0] for t in line]) for line in para if line]
                 if lines:
                     para_renders.append("\n".join(lines) + "\n")
         return "\n".join(para_renders)

@@ -34,6 +34,7 @@ REGION_TAGS = frozenset(
 _VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
 
 _WS_RE = re.compile(r"\s+")
+_NONWS_RE = re.compile(r"\S")
 _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
 
 #: sentinel style marking an explicit <br> fragment (data that merely
@@ -128,7 +129,9 @@ class _Segmenter(HTMLParser):
 
     def _flush(self) -> None:
         p = self._current
-        if p is not None and (p.is_image or any(f.text.strip() for f in p.frags)):
+        if p is not None and (
+            p.is_image or any(_NONWS_RE.search(f.text) for f in p.frags)
+        ):
             self.paragraphs.append(p)
         self._current = None
 
@@ -284,7 +287,7 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
         lines: list[list[tuple[str, int, tuple]]] = []
         cur: list[tuple[str, int, tuple]] = []
         cache = _WORD_CACHE
-        for w in " ".join(f.text for f in para.frags).split():
+        for w in " ".join([f.text for f in para.frags]).split():
             ent = cache.get(w)
             if ent is None:
                 if len(cache) >= _WORD_CACHE_MAX:

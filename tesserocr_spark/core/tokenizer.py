@@ -132,14 +132,15 @@ def fast_feed(text: str, handler) -> bool:
         if m is None:
             break
         pos = m.end()
-        name = m.group("startname")
+        # one C call for all three capture groups (endname, startname, selfclose)
+        ename, name, selfclose = m.group("endname", "startname", "selfclose")
         if name is not None:
             g0 = m.group(0)
             if "," in g0 and _comma_outside_quotes(g0):
                 return False
             tag = name.lower()
             handle_start(tag, _NO_ATTRS)
-            if m.group("selfclose"):
+            if selfclose:
                 handle_end(tag)
             elif tag in _CDATA_LOOSE:
                 lm = _CDATA_LOOSE[tag].search(text, pos)
@@ -156,9 +157,7 @@ def fast_feed(text: str, handler) -> bool:
                     handle_data(text[pos:lm.start()])  # raw: no unescape
                 handle_end(tag)
                 pos = sm.end()
-        else:
-            ename = m.group("endname")
-            if ename is not None:
-                handle_end(ename.lower())
-            # comments / declarations / PIs: no events
+        elif ename is not None:
+            handle_end(ename.lower())
+        # else: comments / declarations / PIs — no events
     return True
