@@ -188,30 +188,23 @@ def alto_sink(docs: DataFrame) -> DataFrame:
     ).select("url", F.expr(_alto_expr()).alias("alto"))
 
 
+#: OSD text block as one expression; NULL struct/fields fall back to the
+#: documented defaults (ADVICE r01). Twin: core.fold.osd_text.
+_OSD_EXPR = """
+concat('Page 0: 0\\n',
+  'Orientation in degrees: ', coalesce(osd.orient_deg, 0), '\\n',
+  'Rotate: ', pmod(360 - coalesce(osd.orient_deg, 0), 360), '\\n',
+  'Orientation confidence: ', format_number(coalesce(osd.orient_conf, 0.0D), 2), '\\n',
+  'Script: ', coalesce(osd.script_name, ''), '\\n',
+  'Script confidence: ', format_number(coalesce(osd.script_conf, 0.0D), 2), '\\n')
+"""
+
+
 def osd_sink(docs: DataFrame) -> DataFrame:
     """TessOsdRenderer (tesserocr/tesserocr.pyx:2196-2198): the .osd text
-    block per page — the only output in the PSM.OSD_ONLY short-circuit."""
-    from .core.fold import osd_text
-
-    @F.pandas_udf("string")
-    def fmt(osd: pd.DataFrame) -> pd.Series:
-        out = []
-        for row in osd.itertuples(index=False):
-            d = row._asdict() if hasattr(row, "_asdict") else dict(row)
-            if d.get("orient_deg") is None or pd.isna(d.get("orient_deg")):
-                # a NULL osd struct arrives as a NaN-filled row — emit the
-                # documented defaults, not 'nan' (ADVICE r01)
-                out.append(osd_text(None))
-            else:
-                out.append(osd_text({
-                    "orient_deg": int(d["orient_deg"]),
-                    "orient_conf": float(d["orient_conf"]),
-                    "script_name": d["script_name"],
-                    "script_conf": float(d["script_conf"]),
-                }))
-        return pd.Series(out, dtype="object")
-
-    return docs.select("url", fmt("osd").alias("osd"))
+    block per page — the only output in the PSM.OSD_ONLY short-circuit.
+    Pure expression (core.fold.osd_text is the tested twin)."""
+    return docs.select("url", F.expr(_OSD_EXPR).alias("osd"))
 
 
 def pdf_sink(docs: DataFrame, textonly: bool = True) -> DataFrame:

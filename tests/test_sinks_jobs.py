@@ -104,6 +104,18 @@ class TestSinks:
         s = df._jdf.queryExecution().optimizedPlan().toString()
         assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
 
+    def test_osd_expression_matches_python_serializer(self, spark):
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.core.fold import osd_text
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 60)
+        got = {r.url: r.osd for r in osd_sink(docs).collect()}
+        ex = Extractor()
+        for i in range(60):
+            url, _ts, html, _t, _l = make_page(i)
+            assert got[url] == osd_text(ex.extract(html).osd), f"page {i}"
+
     def test_box_unlv_expressions_match_python_serializers(self, spark):
         # box and unlv sinks are pure expressions; core.fold twins lock them
         from tesserocr_spark.core.extractor import Extractor
