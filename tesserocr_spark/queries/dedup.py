@@ -454,6 +454,88 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- duplicate clusters (connected components) --------------------------------
 
+def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components by the ALTERNATING large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm, re-expressed as DataFrame ops).
+
+    ``edges``: (src, dst) undirected pairs, any orientation. Returns
+    (node, label) where label = the component's minimum node id.
+
+    Each round is two hash-aggregate+join passes over the edge list — no
+    per-node neighbor materialization (no collect_list; hot nodes stay
+    distributed) — and converges in O(log d) rounds vs the O(d) of plain
+    min-label propagation, which is the property that matters for
+    web-scale duplicate graphs with long chains. ``localCheckpoint``
+    truncates lineage each round so the plan stays flat. Invariants used:
+
+    * large-star emits (b, m(a)) for neighbors b > a, where m(a) is the
+      minimum of a's closed neighborhood — emitted edges are automatically
+      larger-first because m(a) <= a < b;
+    * small-star then re-parents every smaller neighbor (and the center)
+      of each larger-first center to the minimum, preserving larger-first;
+    * a star set is a fixpoint; at convergence every edge is (node, root)
+      with root = component minimum.
+    """
+    E = (
+        edges.selectExpr("greatest(src, dst) AS u", "least(src, dst) AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: for every node a, m = min(neighborhood ∪ {a});
+        # re-parent each strictly larger neighbor b to m
+        sym = E.selectExpr("u AS a", "v AS b").union(E.selectExpr("v AS a", "u AS b"))
+        mins = (
+            sym.groupBy("a").agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", F.col("a")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: per larger-first center u, m = min(smaller neighbors);
+        # re-parent every smaller neighbor != m and the center itself to m
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = large.join(mins2, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint test: edge set unchanged (counts + one-sided anti-join)
+        if small.count() == E.count() and small.join(
+            E, ["u", "v"], "left_anti"
+        ).limit(1).count() == 0:
+            E = small
+            converged = True
+            break
+        E = small
+    if not converged:
+        # would return partially-contracted edges — fail loudly (ADVICE r01)
+        warnings.warn(
+            f"connected_components: star contraction not converged after "
+            f"{max_rounds} rounds; labels may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        E.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(E.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+
+
 @query(
     "dedup_cc_clusters",
     oracle=f"""
@@ -484,59 +566,13 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS via connected components over near-dup pairs —
     the iterative operator a dedup pipeline needs when similarity is not
     transitive (A~B, B~C, A!~C must still collapse to one cluster).
-
-    Spark-first iteration: min-label propagation over the edge list with an
-    early-stop convergence check; ``localCheckpoint`` truncates the lineage
-    each round so the plan stays flat. Rounds needed = component diameter
-    (tiny for dup clusters); the 100 TB upgrade is the large-star/small-star
-    variant of the same loop, which converges in O(log d) rounds. A
-    component whose diameter exceeds the round cap raises rather than
-    returning silently-wrong labels. The DuckDB oracle states the same
-    fixpoint as a recursive CTE."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = (
-        pairs.union(pairs.select(F.col("b_id"), F.col("a_id")))
-        .toDF("src", "dst")
-        .distinct()
-        .localCheckpoint()
+    Runs the alternating large-star/small-star contraction
+    (``connected_components``); the DuckDB oracle states the same fixpoint
+    as a recursive CTE."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    max_rounds = 20
-    improved = 0
-    for _ in range(max_rounds):
-        nbr = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"), "label"
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        improved = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") < F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if improved == 0:
-            break
-    if improved != 0:
-        # labels would be silently wrong for any component with diameter
-        # beyond the cap — fail loudly instead (ADVICE r01)
-        warnings.warn(
-            f"dedup_cc_clusters: label propagation still improving after "
-            f"{max_rounds} rounds; cluster_ids may be split",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    labels = connected_components(pairs)
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),

@@ -235,6 +235,41 @@ class TestIVF:
 
 
 class TestCCClusters:
+    def test_star_contraction_adversarial_graphs(self, spark):
+        """Alternating large-star/small-star must converge within the round
+        cap on a diameter-400 path (plain propagation would need 400 rounds)
+        and must agree with union-find ground truth on a random graph."""
+        import random
+        import warnings
+
+        from tesserocr_spark.queries.dedup import connected_components
+
+        def labels_of(edges_py):
+            df = spark.createDataFrame(edges_py, "src long, dst long")
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # non-convergence = failure
+                return {r.node: r.label for r in connected_components(df).collect()}
+
+        lab = labels_of([(i, i + 1) for i in range(400)])
+        assert set(lab.values()) == {0} and len(lab) == 401
+
+        rng = random.Random(3)
+        e = [(rng.randrange(500), rng.randrange(500)) for _ in range(300)]
+        e = [(a, b) for a, b in e if a != b]
+        parent = list(range(500))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in e:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        assert labels_of(e) == {n: find(n) for ab in e for n in ab}
+
     def test_planted_pairs_cluster_to_min_id(self, spark):
         from tesserocr_spark.queries.dedup import (
             dedup_cc_clusters,
