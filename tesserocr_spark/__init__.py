@@ -37,9 +37,11 @@ def tesseract_version() -> str:
     return f"tesserocr_spark {__version__}"
 
 
-#: LeptLogLevel -> log4j level for set_leptonica_log_level.
+#: LeptLogLevel -> log4j level for set_leptonica_log_level. EXTERNAL (0)
+#: means "severity from the environment" — mapped to None = leave the
+#: environment-configured log4j level untouched.
 _LEPT_TO_LOG4J = {
-    0: "WARN",   # EXTERNAL: defer to environment default
+    0: None,  # EXTERNAL: defer to environment default
     1: "ALL",
     2: "DEBUG",
     3: "INFO",
@@ -54,10 +56,13 @@ def set_leptonica_log_level(spark, level: int) -> None:
     the reference routes message severity to Leptonica's ``setMsgSeverity``;
     the graft's imaging backend is the Spark engine itself, so the severity
     maps onto the SparkContext's log4j level (:class:`LeptLogLevel` values).
+    Unknown levels raise ValueError (the reference rejects them C-side).
     """
     try:
         lvl = _LEPT_TO_LOG4J[int(level)]
-    except (KeyError, ValueError) as exc:
+    except (KeyError, ValueError, TypeError) as exc:
         raise ValueError(f"unknown LeptLogLevel: {level!r}") from exc
+    if lvl is None:  # EXTERNAL: keep whatever the environment configured
+        return
     sc = getattr(spark, "sparkContext", spark)  # accept session or context
     sc.setLogLevel(lvl)

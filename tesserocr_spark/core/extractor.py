@@ -79,12 +79,9 @@ def _word_attrs(word: str) -> tuple:
     if ent is None:
         if len(_WATTR_CACHE) >= _WATTR_CACHE_MAX:
             _WATTR_CACHE.clear()
-        fl = 0
-        if _NUMERIC_RE.match(word):
-            fl |= FLAG_NUMERIC
-        if unicodedata.bidirectional(word[0]) in ("R", "AL"):
-            fl |= FLAG_RTL
-        ent = (95.0 - ((3 * len(word)) % 11), fl)
+        # delegate to the public frozen-law functions so a lockstep change
+        # there can never drift from the hot path (misses are cold)
+        ent = (word_conf(word), word_flags(word, 0))
         _WATTR_CACHE[word] = ent
     return ent
 
@@ -113,8 +110,11 @@ def as_span(obj) -> Span:
     """Coerce a Spark Row / dict / tuple back into a Span (sinks path)."""
     if isinstance(obj, Span):
         return obj
-    if isinstance(obj, tuple) and len(obj) == 12:
-        return Span._make(obj)  # raw positional span from the hot path
+    if type(obj) is tuple and len(obj) == 12:
+        # raw positional span from the hot path — exact-type check so
+        # pyspark Row (a tuple subclass with arbitrary field order) still
+        # takes the by-name asDict branch below
+        return Span._make(obj)
     if isinstance(obj, dict):
         b = obj["bbox"]
         bbox = (b["x0"], b["y0"], b["x1"], b["y1"]) if isinstance(b, dict) else tuple(b)

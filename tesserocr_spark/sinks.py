@@ -120,7 +120,7 @@ def hocr_sink(docs: DataFrame, font_info: bool = False) -> DataFrame:
     return docs.select(
         "url", F.col("spans").alias("all_spans")
     ).select(
-        "url", F.expr("filter(all_spans, s -> s.level < 4)").alias("f")
+        "url", F.expr("filter(coalesce(all_spans, array()), s -> s.level < 4)").alias("f")
     ).select(
         "url", F.expr(_hocr_expr(font_info)).alias("hocr")
     )
@@ -184,7 +184,7 @@ def alto_sink(docs: DataFrame) -> DataFrame:
     doc. Pure expression — no Python in the sink stage (core.fold.alto_text
     is the tested reference twin)."""
     return docs.select(
-        "url", F.expr("filter(spans, s -> s.level < 4)").alias("f")
+        "url", F.expr("filter(coalesce(spans, array()), s -> s.level < 4)").alias("f")
     ).select("url", F.expr(_alto_expr()).alias("alto"))
 
 
@@ -235,7 +235,7 @@ def box_sink(docs: DataFrame) -> DataFrame:
         "url",
         F.expr(
             "concat_ws('\\n', transform("
-            "filter(spans, s -> s.level = 4 AND s.text IS NOT NULL), "
+            "filter(coalesce(spans, array()), s -> s.level = 4 AND s.text IS NOT NULL), "
             "s -> concat(s.text, ' ', s.bbox.x0, ' ', s.bbox.y0, ' ', "
             "s.bbox.x1, ' ', s.bbox.y1, ' 0')))"
         ).alias("box"),
@@ -268,7 +268,7 @@ def unlv_sink(docs: DataFrame) -> DataFrame:
     pure expression (core.fold.unlv_text is the tested twin)."""
     return docs.select(
         "url",
-        F.expr("filter(spans, s -> s.level = 3 AND s.text IS NOT NULL)").alias("w"),
+        F.expr("filter(coalesce(spans, array()), s -> s.level = 3 AND s.text IS NOT NULL)").alias("w"),
     ).select("url", F.expr(_UNLV_EXPR).alias("unlv"))
 
 

@@ -98,7 +98,10 @@ def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     def url_hash(u: str) -> int:
         # the batch-lineage md5→int64 law (queries/registry.py docstring):
         # stable across pandas/python upgrades, so checkpointed state is
-        # portable — unlike pd.util.hash_array (implementation-defined)
+        # portable — unlike pd.util.hash_array (implementation-defined).
+        # NOTE: checkpoints written under the pre-r02 hash_array law are NOT
+        # compatible — discard the checkpoint directory when upgrading, or
+        # previously-seen urls will be re-emitted once
         return int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
 
     def fn(key, pdfs, state: GroupState):

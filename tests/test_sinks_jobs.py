@@ -104,6 +104,22 @@ class TestSinks:
         s = df._jdf.queryExecution().optimizedPlan().toString()
         assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
 
+    def test_null_spans_render_empty_document_skeletons(self, spark):
+        # a NULL spans column (nullable field from storage) must render the
+        # same empty-document output the Python twins produce for [] —
+        # not '' / NULL (size(NULL) = -1 must not defeat the guards)
+        from tesserocr_spark.core.fold import alto_text, box_rows, hocr_text, unlv_text
+
+        docs = _docs(spark, 2).withColumn(
+            "spans", F.when(F.length("url") < 0, F.col("spans"))
+        )
+        row = hocr_sink(docs).collect()[0]
+        assert row.hocr == hocr_text(row.url, [])
+        row = alto_sink(docs).collect()[0]
+        assert row.alto == alto_text(row.url, [])
+        assert box_sink(docs).collect()[0].box == "\n".join(box_rows([]))
+        assert unlv_sink(docs).collect()[0].unlv == unlv_text([])
+
     def test_osd_expression_matches_python_serializer(self, spark):
         from tesserocr_spark.core.extractor import Extractor
         from tesserocr_spark.core.fold import osd_text

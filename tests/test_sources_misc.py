@@ -80,6 +80,8 @@ def test_set_leptonica_log_level(spark):
 
     set_leptonica_log_level(spark, LeptLogLevel.NONE)
     set_leptonica_log_level(spark.sparkContext, LeptLogLevel.DEBUG)  # ctx too
-    with pytest.raises(ValueError, match="LeptLogLevel"):
-        set_leptonica_log_level(spark, 42)
+    set_leptonica_log_level(spark, LeptLogLevel.EXTERNAL)  # no-op: env default
+    for bad in (42, None, "WARN"):
+        with pytest.raises(ValueError, match="LeptLogLevel"):
+            set_leptonica_log_level(spark, bad)
     set_leptonica_log_level(spark, LeptLogLevel.ERROR)  # restore quiet tests
