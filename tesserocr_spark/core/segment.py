@@ -2,8 +2,9 @@
 
 The reference segments a raster page into BLOCK -> PARA -> TEXTLINE -> WORD
 -> SYMBOL regions (tesserocr/tesserocr.pyx:183-207) before recognizing text
-in each. Here the "page" is an HTML document: a single streaming pass with
-``html.parser.HTMLParser`` (no DOM materialization) collects *paragraphs*
+in each. Here the "page" is an HTML document: a single streaming event pass
+(the fast regex tokenizer in core/tokenizer.py, with ``html.parser`` as the
+behavioral reference and fallback; no DOM materialization) collects *paragraphs*
 (maximal inline-text runs) annotated with their region root, semantic tag,
 link density and boilerplate ancestry; grouping consecutive paragraphs with
 the same (region, type) yields *blocks*. Boilerplate stripping — the graft
@@ -33,9 +34,7 @@ REGION_TAGS = frozenset(
 #: void/self-closing tags that never hold text.
 _VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
 
-_WS_RE = re.compile(r"\s+")
 _NONWS_RE = re.compile(r"\S")
-_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+")
 
 #: sentinel style marking an explicit <br> fragment (data that merely
 #: *contains* a newline is ordinary whitespace, not a line break)
