@@ -147,25 +147,31 @@ shingles AS (
 ),
 hashes AS (
   SELECT doc_id, h.i AS band,
-         min((('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483648)
-             * (1000003 + 999983 * h.i) + (12345 + 67890 * h.i)) AS minhash
+         min(((('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483648)
+              * (1000003 + 999983 * h.i) + (12345 + 67890 * h.i))
+             % 2147483647) AS minhash
   FROM shingles, (SELECT unnest(range({_N_HASHES})) AS i) h
   GROUP BY doc_id, h.i
 )
 """
 
 #: per-document minhash signature: ONE md5-int base hash per shingle
-#: (folded to 31 bits), then each band applies a cheap linear permutation
-#: ``h31 * P_b + Q_b`` — the classic k-permutation minhash. The products are
-#: bounded by 2^31 * 8e6 < 2^54, so the arithmetic never overflows int64 and
-#: Spark/DuckDB agree exactly. (The previous law salted the md5 per band —
-#: 8 full digests per shingle — and that hashing dominated the whole query's
-#: CPU profile at every scale factor.)
+#: (folded to 31 bits), then each band applies a cheap universal-hash
+#: permutation ``(h31 * P_b + Q_b) % M`` with M = 2147483647 (Mersenne
+#: prime) — the classic k-permutation minhash. The modulus is what makes
+#: the bands INDEPENDENT: without it the map is strictly monotone in h31,
+#: every band's array_min picks the same shingle, and LSH recall collapses
+#: from 1-(1-j)^8 to j (ADVICE r02, high). Products are bounded by
+#: 2^31 * 8e6 < 2^54 and all operands are positive, so int64 arithmetic and
+#: ``%`` agree bit-for-bit between Spark and DuckDB. (The law before this
+#: one salted the md5 per band — 8 full digests per shingle — and that
+#: hashing dominated the whole query's CPU profile at every scale factor.)
 _MINHASH_EXPR = (
     f"transform(sequence(0, {_N_HASHES - 1}), b -> named_struct("
     "'band', cast(b as int), "
     "'minhash', array_min(transform(h31, "
-    "h -> h * (1000003 + cast(999983 as bigint) * b) + (12345 + 67890 * b)))))"
+    "h -> (h * (1000003 + cast(999983 as bigint) * b) + (12345 + 67890 * b)) "
+    "% 2147483647))))"
 )
 
 _H31_EXPR = "transform(sh, s -> " + _HASH.format(x="s") + " % cast(2147483648 as bigint))"

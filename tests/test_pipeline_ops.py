@@ -40,6 +40,59 @@ class TestDedup:
         # verification bound: every reported pair really has jaccard >= 0.5
         assert all(r.jaccard >= 0.5 for r in dedup_minhash_lsh(spark, SF_DIR).collect())
 
+    def test_minhash_bands_decorrelated(self, spark):
+        """ADVICE r02 (high): without the ``% M`` modulus the per-band map
+        is strictly monotone in h31, so every band's array_min picks the
+        SAME shingle and the 8 band signatures are perfectly correlated
+        (LSH recall degrades from 1-(1-j)^8 to j). Lock independence two
+        ways: (1) some planted near-dup pair collides in >=1 band but NOT
+        all 8; (2) python-twin of the law shows the argmin shingle varies
+        across bands for a many-shingle document."""
+        import hashlib
+
+        from tesserocr_spark.queries.dedup import (
+            _candidates_near,
+            _minhash_signatures,
+            _shingle_array,
+        )
+
+        cand = _candidates_near(spark, SF_DIR)
+        sig = _minhash_signatures(cand)
+        a, b = sig.alias("a"), sig.alias("b")
+        band_matches = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.minhash") == F.col("b.minhash"))
+                & (F.col("b.doc_id") == F.col("a.doc_id") + 100000),
+            )
+            .groupBy(F.col("a.doc_id"))
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in band_matches]
+        assert counts, "no planted pair collides in any band"
+        assert any(0 < c < 8 for c in counts), (
+            "every colliding pair matches in all 8 bands — bands are "
+            "perfectly correlated (monotone permutation regression)"
+        )
+        row = _shingle_array(cand).filter(F.size("sh") >= 20).first()
+        h31 = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2**31
+            for s in row.sh
+        ]
+        argmins = {
+            min(
+                range(len(h31)),
+                key=lambda i: (
+                    h31[i] * (1000003 + 999983 * band) + (12345 + 67890 * band)
+                )
+                % 2147483647,
+            )
+            for band in range(8)
+        }
+        assert len(argmins) > 1, "all bands select the same min shingle"
+
     def test_simhash_pairs_cover_planted(self, spark):
         from tesserocr_spark.queries.dedup import dedup_simhash
 
