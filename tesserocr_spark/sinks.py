@@ -11,11 +11,12 @@ Format notes:
 * txt  — one line per document: ``url \\t json-escaped text`` (newline-safe).
 * tsv  — GetTSVText: spans_long projected to the reference's column order —
   a pure JVM projection, no Python.
-* hocr/alto/box/unlv — rendered by pure Catalyst expressions over the
+* hocr/alto/box/unlv/osd — rendered by pure Catalyst expressions over the
   pre-order spans array (zero Python in the sink stage); the Python
   serializers in core.fold are their byte-law twins, locked by equality
   tests over the synthetic corpus.
-* osd/pdf — per-document Python (tiny fixed-shape outputs).
+* pdf — the one remaining per-document Python renderer (vectorized
+  pandas_udf; inherently binary assembly).
 """
 
 from __future__ import annotations

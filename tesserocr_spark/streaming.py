@@ -74,6 +74,27 @@ def start_extraction_stream(
     )
 
 
+#: dedup state-law version. v2 = md5-hex→int64 url hashing (portable).
+#: v1 (pre-r02 ``pd.util.hash_array``) produced different hashes, so a
+#: checkpoint resumed across the law change would silently re-emit
+#: previously-seen urls — better to fail loudly (VERDICT r02 task #7).
+DEDUP_STATE_VERSION = 2
+
+
+def _validate_dedup_state(tup: tuple) -> list:
+    """Return the seen-hash list from a checkpointed state tuple, or raise
+    if the tuple was written under an older state law."""
+    if len(tup) != 2 or tup[0] != DEDUP_STATE_VERSION:
+        raise ValueError(
+            "dedup_page_stream: checkpoint state has version "
+            f"{tup[0] if len(tup) == 2 else '<pre-versioning>'!r}, expected "
+            f"{DEDUP_STATE_VERSION} (md5->int64 url-hash law). Resuming "
+            "would silently re-emit previously-seen urls; discard the "
+            "checkpoint directory and re-run from the source."
+        )
+    return tup[1]
+
+
 def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): drop
     re-crawled urls across micro-batches — the streaming twin of the batch
@@ -93,19 +114,18 @@ def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
         "bucket int, url string, warc_ts timestamp, html binary, "
         "text string, lang string"
     )
-    state_schema = "seen array<long>"
+    state_schema = "ver int, seen array<long>"
 
     def url_hash(u: str) -> int:
         # the batch-lineage md5→int64 law (queries/registry.py docstring):
         # stable across pandas/python upgrades, so checkpointed state is
         # portable — unlike pd.util.hash_array (implementation-defined).
-        # NOTE: checkpoints written under the pre-r02 hash_array law are NOT
-        # compatible — discard the checkpoint directory when upgrading, or
-        # previously-seen urls will be re-emitted once
+        # Checkpoints written under the pre-r02 hash_array law carry no/a
+        # lower DEDUP_STATE_VERSION and are rejected loudly on resume.
         return int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
 
     def fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        seen = set(_validate_dedup_state(state.get)) if state.exists else set()
         bucket = key[0]
         for pdf in pdfs:
             pdf = pdf.drop_duplicates(subset=["url"])  # within-batch re-crawls
@@ -116,7 +136,7 @@ def dedup_page_stream(pages: DataFrame, n_buckets: int = 64) -> DataFrame:
             if len(out):
                 out.insert(0, "bucket", bucket)
                 yield out
-        state.update((list(seen),))
+        state.update((DEDUP_STATE_VERSION, list(seen)))
 
     keyed = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")

@@ -44,6 +44,41 @@ class TestCrossPath:
         full = {r.url: r.extracted_text for r in docs.select("url", "extracted_text").collect()}
         assert fast == full
 
+    def test_extract_spans_long_equals_nested_path(self, spark, pages, docs):
+        """extract_spans_long's independent flat arrays_zip→posexplode plan
+        must produce the exact row set of the tested nested path
+        (spans_long over extract_pages) — ADVICE r02 low #3."""
+        from tesserocr_spark.api import extract_spans_long
+
+        nested = spans_long(docs).select(
+            "url", "level", "block_id", "para_id", "line_id", "word_id",
+            "symbol_id", "block_type", "text", "conf", "blanks",
+            F.col("bbox.x0").alias("x0"), F.col("bbox.y0").alias("y0"),
+            F.col("bbox.x1").alias("x1"), F.col("bbox.y1").alias("y1"),
+            "flags",
+        )
+        flat = extract_spans_long(pages).select(*nested.columns)
+        key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+        assert key(flat.collect()) == key(nested.collect())
+
+    def test_docs_for_cache_keyed_on_application_id(self, spark):
+        """registry.docs_for must key its persist cache on the Spark
+        applicationId, not id(spark): a recycled object id after session
+        teardown must not serve a stale frame (VERDICT r02 §wrong #3).
+        A proxy with a different object identity but the same sparkContext
+        must hit the cache without touching any other session surface."""
+        from tesserocr_spark.queries.registry import docs_for
+
+        first = docs_for(spark, "/root/testdata/sf0.001")
+
+        class _Proxy:
+            def __init__(self, s):
+                self.sparkContext = s.sparkContext
+
+        proxy = _Proxy(spark)
+        assert id(proxy) != id(spark)
+        assert docs_for(proxy, "/root/testdata/sf0.001") is first
+
     def test_partition_layout_invariance(self, spark, docs):
         """Same corpus at 1 and 7 partitions -> identical bytes + spans."""
         p1 = synthetic_pages(spark, 60, partitions=1)

@@ -95,6 +95,20 @@ def test_late_data_watermark_in_stream_plan(spark, tmp_path):
     assert "EventTimeWatermark" in plan
 
 
+def test_dedup_state_version_rejects_old_law():
+    """Checkpoints written under the pre-r02 hash_array state law must be
+    rejected loudly on resume instead of silently re-emitting seen urls."""
+    import pytest
+
+    from tesserocr_spark.streaming import DEDUP_STATE_VERSION, _validate_dedup_state
+
+    with pytest.raises(ValueError, match="checkpoint state"):
+        _validate_dedup_state(([1, 2, 3],))  # v0: unversioned (seen,) tuple
+    with pytest.raises(ValueError, match="checkpoint state"):
+        _validate_dedup_state((1, [1, 2, 3]))  # explicit older version
+    assert _validate_dedup_state((DEDUP_STATE_VERSION, [7, 8])) == [7, 8]
+
+
 def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: urls seen in an earlier micro-batch are
     dropped when re-crawled in a later one."""

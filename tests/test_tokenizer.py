@@ -131,6 +131,46 @@ def test_fallback_documents_punt_or_match(html):
     assert_equivalent(html)  # either exact match or fallback (None)
 
 
+def test_attrs_dropped_and_segmenter_never_reads_them():
+    """fast_feed always passes an EMPTY attrs list to handle_starttag
+    (documented non-drop-in, ADVICE r02 low #2). Lock the two halves of
+    that contract: the fast path reports no attrs where the stdlib parser
+    reports real ones, AND the only consumer (the segmenter) produces
+    identical output over attrs-rich markup — proving it never reads them."""
+    html = (
+        "<div id='a' class=\"b c\"><p data-x=1 hidden>text "
+        "<a href=https://e.com/u rel=nofollow>link</a> tail</p></div>"
+    )
+
+    class _AttrRec(HTMLParser):
+        def __init__(self):
+            HTMLParser.__init__(self, convert_charrefs=True)
+            self.attrs = []
+
+        def handle_starttag(self, tag, attrs):
+            self.attrs.append((tag, attrs))
+
+    std = _AttrRec()
+    std.feed(html)
+    assert any(a for _, a in std.attrs), "stdlib should see real attrs"
+
+    class _FastRec(_Recorder):
+        def __init__(self):
+            _Recorder.__init__(self)
+            self.attrs = []
+
+        def handle_starttag(self, tag, attrs):
+            self.attrs.append(list(attrs))
+            _Recorder.handle_starttag(self, tag, attrs)
+
+    fr = _FastRec()
+    assert fast_feed(html, fr), "attrs-rich html should stay on the fast path"
+    assert all(a == [] for a in fr.attrs)
+    assert _para_key(parse_paragraphs(html)) == _para_key(
+        parse_paragraphs_stdlib(html)
+    )
+
+
 def test_fallback_path_produces_stdlib_result():
     # parse_paragraphs must transparently reroute fallback docs
     for html in MUST_FALLBACK:
