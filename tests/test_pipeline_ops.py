@@ -107,6 +107,42 @@ class TestDedup:
         # dropping one word flips few simhash bits -> hamming <= 2 for most
         assert len(planted & pairs) / len(planted) >= 0.9
 
+    def test_simhash64_finds_planted_exact(self, spark):
+        """Pigeonhole blocking on the 60-bit signature must find EVERY pair
+        within the radius — the planted exact copies sit at hamming 0."""
+        from tesserocr_spark.queries.dedup import dedup_simhash64
+
+        got = {
+            (r.a_id, r.b_id): r.hamming
+            for r in dedup_simhash64(spark, SF_DIR).collect()
+        }
+        planted = {
+            (r.doc_id, r.doc_id + 100000)
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        assert all(got.get(p) == 0 for p in planted)
+
+    def test_campaign_keep_drops_exactly_cluster_nonminima(self, spark):
+        """End-to-end campaign: kept ids = all candidates minus every
+        clustered doc that is not its cluster's minimum."""
+        from tesserocr_spark.queries.dedup import (
+            _candidates_near,
+            dedup_campaign_keep,
+            dedup_cc_clusters,
+        )
+
+        kept = {r.doc_id for r in dedup_campaign_keep(spark, SF_DIR).collect()}
+        cand = {r.doc_id for r in _candidates_near(spark, SF_DIR).select("doc_id").collect()}
+        clusters = dedup_cc_clusters(spark, SF_DIR).collect()
+        dropped = {r.doc_id for r in clusters if r.doc_id != r.cluster_id}
+        assert kept == cand - dropped
+        # every cluster still has exactly one surviving representative
+        minima = {r.cluster_id for r in clusters}
+        assert minima <= kept
+
     def test_ngram_jaccard_finds_planted(self, spark):
         from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 

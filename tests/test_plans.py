@@ -98,6 +98,42 @@ def test_simhash_pairs_use_equi_join_not_allpairs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash64_pairs_use_equi_join_not_allpairs(spark):
+    from tesserocr_spark.queries.dedup import dedup_simhash64
+
+    plan = _plan(dedup_simhash64(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash64_slice_keys_content_derived(spark):
+    """The scale property the 64-bit variant exists for: slice values are
+    20-bit content hashes, so distinct (sid, sval) join keys grow with the
+    corpus — unlike the 16-bit operator whose slices have <= 64 possible
+    values and degenerate to fixed buckets at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from tesserocr_spark.queries.dedup import (
+        _SIMHASH64_BITS,
+        _SIMHASH64_SLICES,
+        _candidates_exact,
+        _simhash,
+    )
+
+    s = _simhash(_candidates_exact(spark, SF_DIR), bits=_SIMHASH64_BITS)
+    keys = (
+        s.select(F.explode(F.expr(_SIMHASH64_SLICES)).alias("p"))
+        .select("p.sid", "p.sval")
+        .distinct()
+        .count()
+    )
+    n_docs = s.count()
+    # planted copies share all 3 slices with their source, so the unique-text
+    # corpus contributes ~3 fresh keys per doc; 64-value slices would cap
+    # this at 128 total no matter the corpus size
+    assert keys > n_docs
+
+
 def test_ngram_jaccard_uses_equi_join_not_allpairs(spark):
     from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 
