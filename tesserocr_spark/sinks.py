@@ -15,13 +15,14 @@ Format notes:
   pre-order spans array (zero Python in the sink stage); the Python
   serializers in core.fold are their byte-law twins, locked by equality
   tests over the synthetic corpus.
-* pdf — the one remaining per-document Python renderer (vectorized
-  pandas_udf; inherently binary assembly).
+* pdf — also a pure expression: the file is assembled as a
+  latin-1-constrained string (so char offsets == byte offsets for /Length
+  and the xref table) and encoded ISO-8859-1; core.fold.pdf_bytes is the
+  byte-law twin. EVERY renderer is now zero-Python.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -208,23 +209,94 @@ def osd_sink(docs: DataFrame) -> DataFrame:
     return docs.select("url", F.expr(_OSD_EXPR).alias("osd"))
 
 
+def _pdf_expression():
+    """Text-only PDF file bytes as ONE Catalyst expression — the byte-law
+    twin of ``core.fold.pdf_bytes`` (locked by equality test).
+
+    The whole file is assembled as a latin-1-constrained string — every
+    char > U+00FF is first replaced by ``?`` exactly like Python's
+    ``encode('latin-1', 'replace')`` — so ``length()`` (chars) equals the
+    encoded byte length, making the ``/Length`` field and the xref byte
+    offsets computable in-plan; ``encode(_, 'ISO-8859-1')`` then yields the
+    final bytes."""
+    text = F.coalesce(F.col("extracted_text"), F.lit(""))
+    safe = F.regexp_replace(text, "[^\\x00-\\xff]", "?")
+    esc = F.replace(safe, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("("), F.lit("\\("))
+    esc = F.replace(esc, F.lit(")"), F.lit("\\)"))
+    stream = F.concat(
+        F.lit("BT\n/F1 10 Tf\n12 TL\n1 0 0 1 36 756 Tm\n"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.split(esc, "\n"),
+                lambda l: F.concat(F.lit("("), l, F.lit(") Tj T*")),
+            ),
+        ),
+        F.lit("\nET"),
+    )
+    bodies = [
+        F.lit("<< /Type /Catalog /Pages 2 0 R >>"),
+        F.lit("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        F.lit(
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ),
+        F.concat(
+            F.lit("<< /Length "), F.length(stream).cast("string"),
+            F.lit(" >>\nstream\n"), stream, F.lit("\nendstream"),
+        ),
+        F.lit("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    wrapped = F.array(
+        *[
+            F.concat(F.lit(f"{i} 0 obj\n"), body, F.lit("\nendobj\n"))
+            for i, body in enumerate(bodies, start=1)
+        ]
+    )
+    # running byte offsets of each object; 9 = len('%PDF-1.4\n')
+    acc = F.aggregate(
+        wrapped,
+        F.struct(
+            F.lit(9).alias("cur"),
+            F.expr("cast(array() as array<int>)").alias("offs"),
+        ),
+        lambda a, x: F.struct(
+            (a["cur"] + F.length(x)).alias("cur"),
+            F.concat(a["offs"], F.array(a["cur"])).alias("offs"),
+        ),
+    )
+    full = F.concat(
+        F.lit("%PDF-1.4\n"),
+        F.concat_ws("", wrapped),
+        F.lit("xref\n0 6\n0000000000 65535 f \n"),
+        F.concat_ws(
+            "",
+            F.transform(
+                acc["offs"],
+                lambda o: F.concat(
+                    F.lpad(o.cast("string"), 10, "0"), F.lit(" 00000 n \n")
+                ),
+            ),
+        ),
+        F.lit("trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"),
+        acc["cur"].cast("string"),
+        F.lit("\n%%EOF\n"),
+    )
+    return F.encode(full, "ISO-8859-1")
+
+
 def pdf_sink(docs: DataFrame, textonly: bool = True) -> DataFrame:
     """TessPDFRenderer (tesserocr/tesserocr.pyx:2214-2224) per document:
-    (url, pdf:binary). Only the textonly_pdf mode is carried — the
+    (url, pdf:binary), pure Catalyst expression (core.fold.pdf_bytes is the
+    byte-law twin). Only the textonly_pdf mode is carried — the
     image-underlay mode needs a raster codec absent from this environment
     and is stubbed per the multimodal convention (multimodal.py)."""
     if not textonly:
         raise NotImplementedError(
             "textonly_pdf=0 (image underlay) requires an image codec; "
             "only the text-only PDF path is implemented")
-    from .core.fold import pdf_bytes
-
-    @F.pandas_udf("binary")
-    def fmt(url: pd.Series, text: pd.Series) -> pd.Series:
-        return pd.Series(
-            [pdf_bytes(u, t) for u, t in zip(url, text)], dtype="object")
-
-    return docs.select("url", fmt("url", "extracted_text").alias("pdf"))
+    return docs.select("url", _pdf_expression().alias("pdf"))
 
 
 def box_sink(docs: DataFrame) -> DataFrame:

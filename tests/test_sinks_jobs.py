@@ -199,6 +199,29 @@ class TestSinks:
         with pytest.raises(NotImplementedError):
             pdf_sink(docs, textonly=False)
 
+    def test_pdf_expression_matches_python_serializer(self, spark):
+        # expression PDF sink == core.fold.pdf_bytes, byte for byte — the
+        # same lock the other five pure-expression renderers carry. The
+        # corpus includes non-latin1 chars (…), latin-1 chars (é), parens
+        # and backslashes via the degenerate pages.
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.core.fold import pdf_bytes
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 60)
+        got = {r.url: bytes(r.pdf) for r in pdf_sink(docs).collect()}
+        ex = Extractor()
+        for i in range(60):
+            url, _ts, html, _t, _l = make_page(i)
+            assert got[url] == pdf_bytes(url, ex.extract(html).text), \
+                f"PDF mismatch page {i}"
+
+    def test_pdf_sink_plan_has_no_python(self, spark):
+        df = pdf_sink(_docs(spark, 3))
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        # extraction upstream is the one allowed Python boundary
+        assert s.count("ArrowEvalPython") + s.count("BatchEvalPython") <= 1
+
     def test_hocr_font_info_flag(self, spark):
         docs = _docs(spark, 10)
         plain = {r.url: r.hocr for r in hocr_sink(docs).collect()}
