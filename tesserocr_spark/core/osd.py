@@ -47,14 +47,14 @@ def detect_os(text: str, lang: str = "eng") -> dict:
     declared language hint (multi-lang spec semantics,
     tesserocr/tesserocr.pyx:1207-1217)."""
     if text.isascii():
-        # fast path: pure-ASCII text is all-Latin by construction
+        # fast path: pure-ASCII text is all-Latin by construction; only
+        # letter PRESENCE matters, so search (first-hit exit) not findall
         global _ASCII_ALPHA_RE
         if _ASCII_ALPHA_RE is None:
             import re
 
             _ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")
-        n = len(_ASCII_ALPHA_RE.findall(text))
-        if n == 0:
+        if _ASCII_ALPHA_RE.search(text) is None:
             fallback = _LANG_SCRIPT.get(lang.split("+")[0], "Latin")
             return {"orient_deg": 0, "orient_conf": 0.0,
                     "script_name": fallback, "script_conf": 0.0}
