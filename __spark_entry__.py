@@ -53,6 +53,9 @@ _EMIT_FIRST = [
     # new in r03
     "dedup_simhash64",
     "dedup_campaign_keep",
+    "repetition_filter",
+    "quality_gate_rules",
+    "pii_scrub",
 ]
 
 _EMIT_LAST = [
@@ -68,6 +71,9 @@ _EMIT_LAST = [
     "bbox_envelope",
     "pivot_event_counts",
     "unpivot_doc_stats",
+    "mean_text_conf",
+    "region_filter",
+    "empty_level_predicate",
 ]
 
 

@@ -126,6 +126,173 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_filter",
+    oracle="""
+WITH rep AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN trim(text) || ' ' || trim(text)
+              ELSE trim(text) END AS text
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2] || ' ' ||
+                string_split(text, ' ')[i + 3]) AS grams
+  FROM rep
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) END, 4)
+         AS dup_frac,
+       CASE WHEN len(grams) = 0 THEN FALSE
+            WHEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) > 0.3
+            THEN FALSE ELSE TRUE END AS keep
+FROM sh""",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4 duplicate-n-gram
+    rule): fraction of repeated 3-grams per document; documents whose
+    duplicate fraction exceeds 0.3 (or that have no 3-grams) are dropped.
+    The synthetic corpus has no repetitive documents, so doc_id % 9 == 0
+    texts are deterministically doubled in-query (the planting convention
+    of the dedup family) — those land at dup_frac ~0.5 and are dropped.
+    Pure array expressions — the per-doc gram list never leaves the JVM,
+    no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    rep = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.trim("text"), F.lit(" "), F.trim("text")),
+    ).otherwise(F.trim("text"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
+        "i -> concat_ws(' ', split(text, ' ')[i - 1], "
+        "split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    )
+    g = d.select("doc_id", rep.alias("text")).select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    dup = F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd.cast("double") / n)
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(dup, 4).alias("dup_frac"),
+        F.when(n == 0, F.lit(False)).otherwise(dup <= 0.3).alias("keep"),
+    )
+
+
+@query(
+    "quality_gate_rules",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(text), ' ') AS words,
+         length(replace(trim(text), ' ', '')) AS n_alpha,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(n_alpha / len(words), 4) AS mean_wlen,
+       round(n_sym / greatest(n_chars, 1), 4) AS symbol_ratio,
+       len(list_filter(words, x -> x IN ('{_SQL_STOP}'))) >= 1 AS has_stop,
+       (len(words) BETWEEN 5 AND 5000)
+         AND (n_alpha / len(words) BETWEEN 2 AND 12)
+         AND (n_sym / greatest(n_chars, 1) <= 0.2)
+         AND len(list_filter(words, x -> x IN ('{_SQL_STOP}'))) >= 1 AS keep
+FROM w""",
+)
+def quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard quality-gate rules (the Gopher rule family): word-count bounds,
+    mean-word-length bounds, symbol-character ratio, stopword presence —
+    each rule surfaced as its own column plus the conjunction ``keep``.
+    Complements ``quality_score`` (soft score) with the hard gates a
+    pretraining pipeline applies first. All JVM expressions."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim("text"), " ")
+    n_words = F.size(words)
+    n_alpha = F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+    n_sym = F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+    n_chars = F.length("text")
+    mean_wlen = n_alpha / n_words
+    sym_ratio = n_sym / F.greatest(n_chars, F.lit(1))
+    has_stop = F.size(F.filter(words, lambda x: x.isin(*STOPWORDS))) >= 1
+    keep = (
+        n_words.between(5, 5000)
+        & mean_wlen.between(2, 12)
+        & (sym_ratio <= 0.2)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        has_stop.alias("has_stop"),
+        keep.alias("keep"),
+    )
+
+
+#: PII regexes — identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, +, bounded repeats only; no lookaround, no backrefs.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact bob' || doc_id ||
+                   '@mail.example.com or https://u.example.com/p/' || doc_id
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_URL_RE}', '<URL>', 'g')) AS scrubbed_fp
+FROM planted""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails/URLs (deterministically
+    planted on doc_id % 5 == 0, since the synthetic corpus contains none).
+    The regexes are restricted to the Java-regex ∩ RE2 common dialect so
+    Spark and the DuckDB oracle scrub byte-identically; the scrubbed text
+    is fingerprinted rather than returned (at 100 TB the scrub runs
+    in-place in the select — no shuffle, no UDF)."""
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact bob"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://u.example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    p = d.select("doc_id", text.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_URL_RE}', 0)"))
+        .cast("bigint").alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+@query(
     "multimodal_stub",
     oracle="""
 SELECT doc_id,

@@ -373,3 +373,40 @@ class TestCCClusters:
         assert all(labels[p.a_id] == labels[p.b_id] for p in pairs)
         # cluster representative is the component-minimum id
         assert all(cid <= did and cid in labels for did, cid in labels.items())
+
+
+class TestTextOpsGates:
+    def test_repetition_filter_drops_planted_doubles(self, spark):
+        """doc_id % 9 == 0 texts are doubled in-query -> dup_frac ~0.5,
+        dropped; ordinary synthetic docs have near-distinct 3-grams."""
+        from tesserocr_spark.queries.textops import repetition_filter
+
+        rows = {r.doc_id: r for r in repetition_filter(spark, SF_DIR).collect()}
+        planted = [r for i, r in rows.items() if i % 9 == 0 and r.n_grams > 8]
+        assert planted
+        assert all(not r.keep and r.dup_frac > 0.3 for r in planted)
+        clean = [r for i, r in rows.items() if i % 9 != 0 and r.n_grams > 0]
+        assert sum(r.keep for r in clean) / len(clean) > 0.9
+
+    def test_pii_scrub_counts_planted_only(self, spark):
+        from tesserocr_spark.queries.textops import pii_scrub
+
+        for r in pii_scrub(spark, SF_DIR).collect():
+            if r.doc_id % 5 == 0:
+                assert r.n_emails == 1 and r.n_urls == 1, r
+            else:
+                assert r.n_emails == 0 and r.n_urls == 0, r
+
+    def test_quality_gate_is_the_conjunction_of_its_rules(self, spark):
+        from tesserocr_spark.queries.textops import quality_gate_rules
+
+        rows = quality_gate_rules(spark, SF_DIR).collect()
+        assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+        for r in rows:
+            expected = (
+                5 <= r.n_words <= 5000
+                and 2 <= r.mean_wlen <= 12
+                and r.symbol_ratio <= 0.2
+                and r.has_stop
+            )
+            assert r.keep == expected, r
