@@ -239,8 +239,11 @@ def quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: PII regexes — identical semantics in Java regex (Spark) and RE2 (DuckDB):
-#: character classes, +, bounded repeats only; no lookaround, no backrefs.
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+#: character classes, +, bounded repeats only; no lookaround, no backrefs,
+#: and NO backslash escapes ([.] not \.) — Spark's SQL string literals eat
+#: unrecognized backslash escapes while DuckDB's do not, so an escaped
+#: pattern silently diverges between the F.expr and oracle sides.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
 _URL_RE = r"https?://[^ ]+"
 
 
