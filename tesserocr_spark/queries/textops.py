@@ -167,12 +167,20 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 9 == 0,
         F.concat(F.trim("text"), F.lit(" "), F.trim("text")),
     ).otherwise(F.trim("text"))
+    # bind the split array once (w is an attribute: no per-element re-split
+    # inside the interpreted lambda) and guard size < 3 — sequence(1, 0)
+    # DESCENDS in Spark, indexing out of bounds on short documents
     grams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
-        "i -> concat_ws(' ', split(text, ' ')[i - 1], "
-        "split(text, ' ')[i], split(text, ' ')[i + 1]))"
+        "CASE WHEN size(w) >= 3 THEN "
+        "transform(sequence(0, size(w) - 3), "
+        "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) "
+        "ELSE cast(array() as array<string>) END"
     )
-    g = d.select("doc_id", rep.alias("text")).select("doc_id", grams.alias("grams"))
+    g = (
+        d.select("doc_id", rep.alias("text"))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", grams.alias("grams"))
+    )
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
     dup = F.when(n == 0, F.lit(0.0)).otherwise(1.0 - nd.cast("double") / n)

@@ -78,6 +78,12 @@ def start_extraction_stream(
 #: v1 (pre-r02 ``pd.util.hash_array``) produced different hashes, so a
 #: checkpoint resumed across the law change would silently re-emit
 #: previously-seen urls — better to fail loudly (VERDICT r02 task #7).
+#: NOTE: actual v1 checkpoints also differ in state SHAPE (no ``ver``
+#: field), so Spark's state-store schema check rejects them before fn()
+#: runs — loud, but with a generic schema error. The version field's job
+#: is the FUTURE case: a hash-law change that keeps this same state shape
+#: would otherwise resume silently; bump the constant and the validator
+#: turns that into this module's actionable error instead.
 DEDUP_STATE_VERSION = 2
 
 

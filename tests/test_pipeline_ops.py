@@ -410,3 +410,18 @@ class TestTextOpsGates:
                 and r.has_stop
             )
             assert r.keep == expected, r
+
+    def test_repetition_filter_short_docs_no_crash(self, spark, tmp_path):
+        """sequence(1, 0) DESCENDS in Spark: documents with < 3 words must
+        yield n_grams = 0 (keep = False), not an out-of-bounds index crash
+        under ANSI mode."""
+        from tesserocr_spark.queries.textops import repetition_filter
+
+        d = spark.createDataFrame(
+            [(1, "hello world"), (2, "one"), (3, ""), (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = {r.doc_id: r for r in repetition_filter(spark, str(tmp_path)).collect()}
+        assert all(rows[i].n_grams == 0 and not rows[i].keep for i in (1, 2, 3))
+        assert rows[4].n_grams == 2 and rows[4].keep
