@@ -45,6 +45,13 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # none|lz4_frame|zstd — zstd trades per-core CPU for Arrow-IPC bus
+        # bytes (helps when bus-bound at high core counts; hurts when
+        # CPU-bound). Measured tradeoff in BENCH/PLANS.md; default none.
+        .config(
+            "spark.sql.execution.arrow.compression.codec",
+            os.environ.get("SPARK_GRAFT_ARROW_CODEC", "none"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
