@@ -56,6 +56,7 @@ _EMIT_FIRST = [
     "repetition_filter",
     "quality_gate_rules",
     "pii_scrub",
+    "tfidf_top_terms",
 ]
 
 _EMIT_LAST = [
@@ -79,6 +80,7 @@ _EMIT_LAST = [
     "mean_text_conf",
     "region_filter",
     "empty_level_predicate",
+    "thresholded_text",
 ]
 
 

@@ -304,6 +304,60 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n::DOUBLE / df.df), 4) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, score FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM s
+) WHERE rn <= 5""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms — the relevance/keyword-extraction
+    pipeline (tf per (doc, term) → corpus df → idf join → per-doc top-k).
+
+    Scale shape: two term-keyed hash aggregations, ONE equi-join on term
+    (the df side is tiny relative to the corpus — AQE broadcasts it), and a
+    per-doc window for top-k (spans never cross documents, so the window
+    partitions by doc_id with no global sort). Ranking uses the ROUNDED
+    score with the term as tiebreak so the top-k set is deterministic
+    across engines and partition layouts."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.groupBy().agg(F.count("*").alias("n"))
+    s = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    )
+    return s.withColumn("rn", rn).filter(F.col("rn") <= 5).drop("rn")
+
+
+@query(
     "multimodal_stub",
     oracle="""
 SELECT doc_id,

@@ -425,3 +425,20 @@ class TestTextOpsGates:
         rows = {r.doc_id: r for r in repetition_filter(spark, str(tmp_path)).collect()}
         assert all(rows[i].n_grams == 0 and not rows[i].keep for i in (1, 2, 3))
         assert rows[4].n_grams == 2 and rows[4].keep
+
+    def test_tfidf_top_terms_sound(self, spark):
+        """Top-k per doc: at most 5 rows, every term from that document,
+        non-negative scores (df <= N so idf >= 0)."""
+        from tesserocr_spark.queries.textops import tfidf_top_terms
+
+        per_doc = {}
+        for r in tfidf_top_terms(spark, SF_DIR).collect():
+            per_doc.setdefault(r.doc_id, []).append(r)
+        vocab = {
+            r.doc_id: set(r.text.strip().split())
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        }
+        assert per_doc and all(len(v) <= 5 for v in per_doc.values())
+        for did, terms in per_doc.items():
+            assert all(t.term in vocab[did] for t in terms), did
+            assert all(t.score >= 0 for t in terms), did
