@@ -45,7 +45,7 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # none|lz4_frame|zstd — zstd trades per-core CPU for Arrow-IPC bus
+        # none|lz4|zstd — zstd trades per-core CPU for Arrow-IPC bus
         # bytes (helps when bus-bound at high core counts; hurts when
         # CPU-bound). Measured tradeoff in BENCH/PLANS.md; default none.
         .config(

@@ -338,7 +338,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (one row per (doc, term)) — no second explode scan
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.groupBy().agg(F.count("*").alias("n"))
     s = (
         tf.join(df_, "term")
