@@ -57,6 +57,8 @@ _EMIT_FIRST = [
     "quality_gate_rules",
     "pii_scrub",
     "tfidf_top_terms",
+    "stratified_sample",
+    "token_budget_pack",
 ]
 
 _EMIT_LAST = [
@@ -81,6 +83,8 @@ _EMIT_LAST = [
     "region_filter",
     "empty_level_predicate",
     "thresholded_text",
+    "tesseract_rect",
+    "top_k_choices",
 ]
 
 

@@ -358,6 +358,89 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("rn", rn).filter(F.col("rn") <= 5).drop("rn")
 
 
+#: deterministic per-language sampling rates (percent kept): downsample the
+#: dominant language, keep the tail — the rebalancing move of a
+#: multilingual pretraining mix.
+_SAMPLE_RATES = {"en": 25}
+_SAMPLE_DEFAULT = 75
+
+_SQL_RATE = "CASE WHEN lang = 'en' THEN 25 ELSE 75 END"
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS INT)
+         AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      < {_SQL_RATE}""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language fraction of
+    documents by hashing the doc id into 100 buckets with the shared
+    md5→int64 law — NOT ``df.sample`` (seeded RNG sampling is
+    partition-layout-dependent; hash-bucket sampling is reproducible
+    row-by-row on any cluster size, resumable, and oracle-checkable).
+    A pure filter: no shuffle, fully pushed down behind the scan."""
+    d = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])).otherwise(
+        F.lit(_SAMPLE_DEFAULT)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.cast("int").alias("bucket"), rate.alias("r"))
+        .filter(F.col("bucket") < F.col("r"))
+        .drop("r")
+    )
+
+
+#: token budget per packed shard (context-window packing granularity).
+_PACK_BUDGET = 2000
+
+
+@query(
+    "token_budget_pack",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+       CAST(floor(coalesce(sum(len(string_split(trim(text), ' ')))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {_PACK_BUDGET}.0) AS BIGINT) AS shard
+FROM documents""",
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing (context-window packing for
+    training-data prep): within each source, documents in doc_id order are
+    assigned to shards of ~{budget} whitespace tokens via a running-sum
+    window — shard = floor(tokens-before-me / budget).
+
+    Scale shape: the window partitions by ``source`` (the ingest unit), so
+    packing is embarrassingly parallel across sources and never needs a
+    global sort — the exact property a 100 TB packing job requires; a
+    single global ordering would serialize on one partition."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tokens = F.size(F.split(F.trim("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens).over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        tokens.alias("tokens"),
+        F.floor(before / float(_PACK_BUDGET)).cast("bigint").alias("shard"),
+    )
+
+
 @query(
     "multimodal_stub",
     oracle="""

@@ -442,3 +442,37 @@ class TestTextOpsGates:
         for did, terms in per_doc.items():
             assert all(t.term in vocab[did] for t in terms), did
             assert all(t.score >= 0 for t in terms), did
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from tesserocr_spark.queries.textops import stratified_sample
+
+        kept = {(r.doc_id, r.lang) for r in stratified_sample(spark, SF_DIR).collect()}
+        again = {(r.doc_id, r.lang) for r in stratified_sample(spark, SF_DIR).collect()}
+        assert kept == again  # hash sampling: reproducible, not RNG
+        totals = {}
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+            totals.setdefault(r.lang, [0, 0])[0] += 1
+        for did, lang in kept:
+            totals[lang][1] += 1
+        en_frac = totals["en"][1] / totals["en"][0]
+        rest = [v[1] / v[0] for k, v in totals.items() if k != "en"]
+        assert 0.1 < en_frac < 0.45  # targets 0.25 (binomial spread at ~200 docs)
+        assert all(0.55 < f < 0.95 for f in rest)  # target 0.75
+
+    def test_token_budget_pack_matches_greedy_recompute(self, spark):
+        from tesserocr_spark.queries.textops import _PACK_BUDGET, token_budget_pack
+
+        rows = token_budget_pack(spark, SF_DIR).collect()
+        by_source = {}
+        for r in rows:
+            by_source.setdefault(r.source, []).append(r)
+        assert len(by_source) > 3
+        for src, rs in by_source.items():
+            rs.sort(key=lambda r: r.doc_id)
+            cum = 0
+            for r in rs:
+                assert r.shard == cum // _PACK_BUDGET, (src, r)
+                cum += r.tokens
+            # shards are non-decreasing in pack order
+            shards = [r.shard for r in rs]
+            assert shards == sorted(shards)
