@@ -59,6 +59,7 @@ _EMIT_FIRST = [
     "tfidf_top_terms",
     "stratified_sample",
     "token_budget_pack",
+    "decontaminate_ngram_overlap",
 ]
 
 _EMIT_LAST = [
@@ -85,6 +86,7 @@ _EMIT_LAST = [
     "thresholded_text",
     "tesseract_rect",
     "top_k_choices",
+    "osd_script",
 ]
 
 

@@ -383,7 +383,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5→int64 law — NOT ``df.sample`` (seeded RNG sampling is
     partition-layout-dependent; hash-bucket sampling is reproducible
     row-by-row on any cluster size, resumable, and oracle-checkable).
-    A pure filter: no shuffle, fully pushed down behind the scan."""
+    A pure map-side filter in the scan stage — no shuffle (the md5 itself
+    cannot push into the parquet reader, but nothing downstream pays for a
+    dropped row)."""
     d = _docs(spark, sf_dir)
     bucket = F.expr(
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"
@@ -438,6 +440,94 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         tokens.alias("tokens"),
         F.floor(before / float(_PACK_BUDGET)).cast("bigint").alias("shard"),
+    )
+
+
+#: documents whose doc_id % 101 == 0 act as the held-out benchmark/eval set
+#: for the decontamination operator (the corpus has no separate eval table).
+_EVAL_MOD = 101
+_DECON_N = 5  # contamination n-gram width
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH cand AS (
+  SELECT doc_id, doc_id % {_EVAL_MOD} = 0 AS is_eval, trim(text) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, FALSE,
+         substr(trim(text), strpos(trim(text), ' ') + 1)
+  FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+),
+g AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(list_transform(
+           range(greatest(len(string_split(text, ' ')) - {_DECON_N - 1}, 0)),
+           i -> string_split(text, ' ')[i + 1] || ' ' ||
+                string_split(text, ' ')[i + 2] || ' ' ||
+                string_split(text, ' ')[i + 3] || ' ' ||
+                string_split(text, ' ')[i + 4] || ' ' ||
+                string_split(text, ' ')[i + 5]))) AS gram
+  FROM cand
+)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gram) AS BIGINT) AS overlap_grams,
+       CAST(min(e.doc_id) AS BIGINT) AS eval_doc_id
+FROM g t JOIN g e ON t.gram = e.gram
+WHERE NOT t.is_eval AND e.is_eval
+GROUP BY t.doc_id""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out eval set (doc_id % 101 == 0 stands in for the
+    benchmark table; a first-word-dropped "leak" of each eval doc is
+    planted at doc_id + 200000 since the synthetic corpus has no natural
+    contamination) — the n-gram-overlap decontamination pass every serious
+    pretraining pipeline runs before training.
+
+    Scale shape: distinct 5-grams per side, then ONE equi-join keyed on
+    the gram string (at 100 TB: hash the gram with the md5 law and join on
+    the 8-byte key; the eval side is tiny and broadcasts), then a per-doc
+    count. No all-pairs comparison anywhere."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+        F.trim("text").alias("text"),
+    )
+    leaks = base.filter("is_eval").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.lit(False).alias("is_eval"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    d = base.unionByName(leaks).select(
+        "doc_id", "is_eval", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(w) >= {_DECON_N} THEN "
+                    f"transform(sequence(0, size(w) - {_DECON_N}), "
+                    "i -> concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4])) "
+                    "ELSE cast(array() as array<string>) END"
+                )
+            )
+        ).alias("gram"),
+    )
+    train = grams.filter(~F.col("is_eval")).select("doc_id", "gram")
+    eval_ = grams.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("e_id"), "gram"
+    )
+    return (
+        train.join(F.broadcast(eval_), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("overlap_grams"),
+            F.min("e_id").cast("bigint").alias("eval_doc_id"),
+        )
     )
 
 

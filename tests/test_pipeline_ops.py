@@ -476,3 +476,41 @@ class TestTextOpsGates:
             # shards are non-decreasing in pack order
             shards = [r.shard for r in rs]
             assert shards == sorted(shards)
+
+    def test_decontamination_flags_planted_leaks(self, spark):
+        """Every planted leak (first-word-dropped copy of an eval doc at
+        id + 200000) must be flagged against its source eval doc; clean
+        training docs must not appear."""
+        from pyspark.sql import functions as F
+
+        from tesserocr_spark.queries.textops import decontaminate_ngram_overlap
+
+        rows = {r.doc_id: r for r in decontaminate_ngram_overlap(spark, SF_DIR).collect()}
+        evals = [
+            r.doc_id
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 101 == 0)
+            .collect()
+        ]
+        assert evals
+        for e in evals:
+            leak = rows.get(e + 200000)
+            assert leak is not None and leak.eval_doc_id == e and leak.overlap_grams >= 1
+        # every flagged doc genuinely shares a 5-gram with some eval doc
+        # (the small synthetic vocabulary produces NATURAL collisions too —
+        # verify against a python recompute rather than assuming only
+        # planted leaks appear)
+        docs = {
+            r.doc_id: r.text.strip().split()
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        }
+
+        def grams(ws):
+            return {tuple(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+        eval_grams = set()
+        for e in evals:
+            eval_grams |= grams(docs[e])
+        for did in rows:
+            ws = docs[did] if did in docs else docs[did - 200000][1:]
+            assert grams(ws) & eval_grams, did
