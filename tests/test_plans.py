@@ -199,3 +199,43 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_pages")
         spark.sql("DROP TABLE IF EXISTS bq_texts")
+
+
+def test_tfidf_single_term_join_no_cartesian(spark):
+    """tf->df derivation must reuse the aggregate, and the n_docs scalar is
+    an explicit broadcast — no cartesian blowup, exactly one non-broadcast
+    join key (term)."""
+    from tesserocr_spark.queries.textops import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the scalar crossJoin is a broadcast nested loop over ONE row, fine;
+    # the term join must be hash-based
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval set is tiny by construction — its gram frame must broadcast
+    so the training side never shuffles on the gram key."""
+    from tesserocr_spark.queries.textops import decontaminate_ngram_overlap
+
+    plan = _plan(decontaminate_ngram_overlap(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-bucket sampling is a pure map-side filter."""
+    from tesserocr_spark.queries.textops import stratified_sample
+
+    assert "Exchange" not in _plan(stratified_sample(spark, SF_DIR))
+
+
+def test_token_budget_pack_partitions_by_source(spark):
+    """Packing must window per source (parallel), never a global sort."""
+    from tesserocr_spark.queries.textops import token_budget_pack
+
+    plan = _plan(token_budget_pack(spark, SF_DIR))
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan  # a global orderBy would add one
