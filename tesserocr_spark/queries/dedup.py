@@ -35,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import query
+from .registry import HASH_SQL, query
 
 #: planted duplicates: every doc_id % 7 == 0 gets a copy at id + 100000.
 _PLANT_MOD = 7
@@ -110,8 +110,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- shared shingle machinery --------------------------------------------------
 
-#: md5-hex → int64 hash law as a SQL-expr template (registry docstring twin).
-_HASH = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+#: md5-hex → int64 hash law (single definition in registry.HASH_SQL).
+_HASH = HASH_SQL
 
 
 def _shingle_array(cand: DataFrame) -> DataFrame:

@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: the frozen md5-hex→int64 law as a Spark-SQL expr template (its DuckDB
+#: twin is ``('0x'||substr(md5(x),1,15))::BIGINT`` — module docstring).
+#: Format with ``HASH_SQL.format(x=<expr>)``; ONE definition for every
+#: operator that hashes content.
+HASH_SQL = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
 
 def query(name: str, oracle: str | None = None):
     """Register a driver query; ``oracle=None`` → rows-only check."""

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import query
+from .registry import HASH_SQL, query
 
 #: English function words used by the n-gram/stopword language heuristic.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -364,7 +364,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_RATES = {"en": 25}
 _SAMPLE_DEFAULT = 75
 
-_SQL_RATE = "CASE WHEN lang = 'en' THEN 25 ELSE 75 END"
+#: derived, never hand-written: the Spark side reads the same constants, so
+#: the two sides of the sampling law cannot drift (CLAUDE.md lockstep rule)
+_SQL_RATE = (
+    f"CASE WHEN lang = 'en' THEN {_SAMPLE_RATES['en']} ELSE {_SAMPLE_DEFAULT} END"
+)
 
 
 @query(
@@ -387,9 +391,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot push into the parquet reader, but nothing downstream pays for a
     dropped row)."""
     d = _docs(spark, sf_dir)
-    bucket = F.expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"
-    )
+    bucket = F.expr(HASH_SQL.format(x="cast(doc_id as string)") + " % 100")
     rate = F.when(F.col("lang") == "en", F.lit(_SAMPLE_RATES["en"])).otherwise(
         F.lit(_SAMPLE_DEFAULT)
     )
@@ -416,10 +418,11 @@ SELECT doc_id, source,
 FROM documents""",
 )
 def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy token-budget shard packing (context-window packing for
-    training-data prep): within each source, documents in doc_id order are
-    assigned to shards of ~{budget} whitespace tokens via a running-sum
-    window — shard = floor(tokens-before-me / budget).
+    """Token-budget shard packing (context-window packing for training-data
+    prep): within each source, documents in doc_id order are assigned by
+    prefix-sum bucketing — shard = floor(tokens-before-me / 2000). A shard
+    can therefore overrun the budget by up to one document (bucketing, not
+    greedy close-on-overflow) — the law both engines and the test encode.
 
     Scale shape: the window partitions by ``source`` (the ingest unit), so
     packing is embarrassingly parallel across sources and never needs a
@@ -447,6 +450,11 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: for the decontamination operator (the corpus has no separate eval table).
 _EVAL_MOD = 101
 _DECON_N = 5  # contamination n-gram width
+#: planted-leak id offset — must stay above the corpus's max doc_id at
+#: every supported scale factor (testdata max doc_id is ~5e3 at sf0.1;
+#: the packaged sf dirs never approach 2e5). A colliding real doc would
+#: merge two texts under one id in the groupBy.
+_LEAK_OFFSET = 200000
 
 
 @query(
@@ -456,7 +464,7 @@ WITH cand AS (
   SELECT doc_id, doc_id % {_EVAL_MOD} = 0 AS is_eval, trim(text) AS text
   FROM documents
   UNION ALL
-  SELECT doc_id + 200000, FALSE,
+  SELECT doc_id + {_LEAK_OFFSET}, FALSE,
          substr(trim(text), strpos(trim(text), ' ') + 1)
   FROM documents WHERE doc_id % {_EVAL_MOD} = 0
 ),
@@ -482,7 +490,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     5-gram with the held-out eval set (doc_id % 101 == 0 stands in for the
     benchmark table; a first-word-dropped "leak" of each eval doc is
-    planted at doc_id + 200000 since the synthetic corpus has no natural
+    planted at doc_id + _LEAK_OFFSET since the synthetic corpus has no natural
     contamination) — the n-gram-overlap decontamination pass every serious
     pretraining pipeline runs before training.
 
@@ -490,13 +498,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram string (at 100 TB: hash the gram with the md5 law and join on
     the 8-byte key; the eval side is tiny and broadcasts), then a per-doc
     count. No all-pairs comparison anywhere."""
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    base = _docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
         F.trim("text").alias("text"),
     )
     leaks = base.filter("is_eval").select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + _LEAK_OFFSET).alias("doc_id"),
         F.lit(False).alias("is_eval"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )

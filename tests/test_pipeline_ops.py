@@ -479,11 +479,14 @@ class TestTextOpsGates:
 
     def test_decontamination_flags_planted_leaks(self, spark):
         """Every planted leak (first-word-dropped copy of an eval doc at
-        id + 200000) must be flagged against its source eval doc; clean
+        id + _LEAK_OFFSET) must be flagged against its source eval doc; clean
         training docs must not appear."""
         from pyspark.sql import functions as F
 
-        from tesserocr_spark.queries.textops import decontaminate_ngram_overlap
+        from tesserocr_spark.queries.textops import (
+            _LEAK_OFFSET,
+            decontaminate_ngram_overlap,
+        )
 
         rows = {r.doc_id: r for r in decontaminate_ngram_overlap(spark, SF_DIR).collect()}
         evals = [
@@ -494,7 +497,7 @@ class TestTextOpsGates:
         ]
         assert evals
         for e in evals:
-            leak = rows.get(e + 200000)
+            leak = rows.get(e + _LEAK_OFFSET)
             assert leak is not None and leak.eval_doc_id == e and leak.overlap_grams >= 1
         # every flagged doc genuinely shares a 5-gram with some eval doc
         # (the small synthetic vocabulary produces NATURAL collisions too —
@@ -512,5 +515,5 @@ class TestTextOpsGates:
         for e in evals:
             eval_grams |= grams(docs[e])
         for did in rows:
-            ws = docs[did] if did in docs else docs[did - 200000][1:]
+            ws = docs[did] if did in docs else docs[did - _LEAK_OFFSET][1:]
             assert grams(ws) & eval_grams, did
