@@ -16,13 +16,11 @@ from pyspark.sql import functions as F
 from ..api import spans_long
 from ..constants import RIL
 from .registry import SQL_CONF, SQL_PAGES, SQL_WORDS, docs_for, query, words_for
-
-_WORD_ORDER = Window.partitionBy("url").orderBy("pos")
-
+from .textops import _SQL_STOP  # single stopword-list definition (lockstep rule)
 
 @query(
     "utf8_text",
-    oracle=f"WITH {SQL_PAGES} SELECT url, norm || chr(10) AS text FROM pages",
+    oracle=f"WITH {SQL_PAGES} SELECT url, CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END AS text FROM pages",
 )
 def utf8_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetUTF8Text per document (tesserocr/tesserocr.pyx:2379-2390) — the
@@ -105,7 +103,7 @@ stats AS (
   SELECT url,
          len(string_split(norm, ' ')) AS nw,
          length(replace(norm, ' ', '')) AS nsym
-  FROM pages
+  FROM pages WHERE norm != ''
 )
 SELECT url, 0 AS level, CAST(1 AS BIGINT) AS n FROM stats
 UNION ALL SELECT url, 1, 1 FROM stats
@@ -168,8 +166,9 @@ def word_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_metrics",
     oracle=f"""WITH {SQL_PAGES}
 SELECT url,
-       CAST(1 AS INT) AS n_blocks,
-       CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+       CAST(CASE WHEN norm = '' THEN 0 ELSE 1 END AS INT) AS n_blocks,
+       CAST(CASE WHEN norm = '' THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS INT) AS n_words,
        CAST(length(replace(norm, ' ', '')) AS INT) AS n_symbols
 FROM pages""",
 )
@@ -210,7 +209,7 @@ def tsv_word_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fold_from_spans",
-    oracle=f"WITH {SQL_PAGES} SELECT url, norm || chr(10) AS text FROM pages",
+    oracle=f"WITH {SQL_PAGES} SELECT url, norm || chr(10) AS text FROM pages WHERE norm != ''",
 )
 def fold_from_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetUTF8Text reconstructed ENTIRELY in Spark SQL from WORD spans (the
@@ -272,7 +271,7 @@ def blanks_before_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH {SQL_WORDS}
 SELECT url, pos, word,
        regexp_matches(word, '^[0-9][0-9.,:%/-]*$') AS is_numeric,
-       word IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')
+       word IN ('{_SQL_STOP}')
          AS is_from_dictionary,
        1 AS direction
 FROM words""",
@@ -297,7 +296,7 @@ def word_attributes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH {SQL_PAGES},
 glyphs AS (
   SELECT DISTINCT unnest(string_split(replace(norm, ' ', ''), '')) AS glyph
-  FROM pages
+  FROM pages WHERE norm != ''
 )
 SELECT CAST(row_number() OVER (ORDER BY glyph) - 1 AS INT) AS unichar_id, glyph
 FROM glyphs""",
@@ -314,8 +313,10 @@ def charset_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "thresholded_text",
     oracle=f"""WITH {SQL_PAGES}
 SELECT url,
-       'home about' || chr(10) || chr(10) || norm || chr(10) || chr(10)
-       || 'terms privacy' || chr(10) AS thresholded_text
+       CASE WHEN norm = ''
+            THEN 'home about' || chr(10) || chr(10) || 'terms privacy' || chr(10)
+            ELSE 'home about' || chr(10) || chr(10) || norm || chr(10) || chr(10)
+                 || 'terms privacy' || chr(10) END AS thresholded_text
 FROM pages""",
 )
 def thresholded_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,10 +372,11 @@ stats AS (
          length(replace(norm, ' ', '')) AS nsym
   FROM pages
 )
-SELECT url, norm || chr(10) AS extracted_text,
-       CAST(3 + nw + nsym AS INT) AS n_spans,
+SELECT url,
+       CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END AS extracted_text,
+       CAST(CASE WHEN norm = '' THEN 0 ELSE 3 + nw + nsym END AS INT) AS n_spans,
        'Latin' AS script,
-       CAST(nw AS INT) AS n_words
+       CAST(CASE WHEN norm = '' THEN 0 ELSE nw END AS INT) AS n_words
 FROM stats""",
 )
 def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +408,7 @@ _SQL_RLANG = (
     "word_recognition_language",
     oracle=f"""WITH pages AS (
   SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
-         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
          {_SQL_RLANG} AS rlang
   FROM documents
 ),
@@ -414,7 +416,7 @@ words AS (
   SELECT url, rlang,
          unnest(string_split(norm, ' ')) AS word,
          generate_subscripts(string_split(norm, ' '), 1) - 1 AS pos
-  FROM pages
+  FROM pages WHERE norm != ''
 )
 SELECT url, CAST(pos AS INT) AS word_id, word, rlang AS recognition_lang
 FROM words""",

@@ -99,7 +99,7 @@ def words_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PAGES = """
 pages AS (
   SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
-         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
   FROM documents
 )
 """
@@ -109,7 +109,7 @@ words AS (
   SELECT url,
          unnest(string_split(norm, ' ')) AS word,
          generate_subscripts(string_split(norm, ' '), 1) - 1 AS pos
-  FROM pages
+  FROM pages WHERE norm != ''
 )
 """
 

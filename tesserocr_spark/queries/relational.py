@@ -27,7 +27,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_flagship_agg",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS n
@@ -55,9 +55,9 @@ def q1_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bbox_envelope",
     oracle="""
 SELECT l_orderkey,
-       CAST(min(l_quantity) AS BIGINT) AS x0,
+       CAST(floor(min(l_quantity)) AS BIGINT) AS x0,
        round(min(l_extendedprice), 2) AS y0,
-       CAST(max(l_quantity) AS BIGINT) AS x1,
+       CAST(floor(max(l_quantity)) AS BIGINT) AS x1,
        round(max(l_extendedprice), 2) AS y1,
        count(*) AS n_children
 FROM lineitem GROUP BY l_orderkey""",
@@ -123,7 +123,7 @@ def boundary_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "region_filter",
     oracle="""
-SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice AS price
+SELECT l_orderkey, l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty, l_extendedprice AS price
 FROM lineitem
 WHERE l_quantity BETWEEN 10 AND 20 AND l_shipdate < DATE '1995-01-01'""",
 )
@@ -250,7 +250,7 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
@@ -357,7 +357,10 @@ def unpivot_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_words"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim("text"), " ")),
+        ).cast("bigint").alias("n_words"),  # NULL text -> NULL (legacy size(NULL)=-1 would diverge from the oracle)
     )
     return d.selectExpr(
         "doc_id",

@@ -1,0 +1,86 @@
+"""Adversarial-corpus oracle regression: the driver's Spark-vs-DuckDB
+comparison re-run over a documents table full of the edge cases the fixed
+testdata never exercises — empty text, whitespace-only text, leading/
+trailing tabs and newlines, single-word docs, doubled internal whitespace.
+
+Round 3 found five latent cross-engine law divergences that only these
+rows expose (trim-before-collapse ordering, phantom '' words from
+string_split(''), unguarded closed forms assuming a non-empty document);
+this test keeps the whole family fixed."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracles", "/root/repo/scripts/check_oracles.py"
+)
+_harness = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_harness)
+
+#: the law-sensitive, documents-only queries (everything the edge rows touch)
+EDGE_QUERIES = (
+    "utf8_text",
+    "all_words",
+    "fold_from_spans",
+    "span_level_counts",
+    "doc_metrics",
+    "charset_table",
+    "thresholded_text",
+    "extract_full",
+    "word_recognition_language",
+    "mean_text_conf",
+    "langid_heuristic",
+    "quality_score",
+    "token_count",
+    "repetition_filter",
+    "unpivot_doc_stats",
+)
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_sf")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM '/root/testdata/sf0.001/documents.parquet' WHERE doc_id < 40
+  UNION ALL SELECT 9001, '', 'en', 'edge', 0
+  UNION ALL SELECT 9002, '   ', 'en', 'edge', 3
+  UNION ALL SELECT 9003, chr(10) || 'hello world', 'en', 'edge', 12
+  UNION ALL SELECT 9004, 'tail space ' || chr(9), 'en', 'edge', 12
+  UNION ALL SELECT 9005, 'one', 'en', 'edge', 3
+  UNION ALL SELECT 9006, 'a  b' || chr(10) || chr(10) || 'c', 'de', 'edge', 6
+) TO '{d}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.close()
+    return str(d)
+
+
+def test_edge_corpus_oracles_match(spark, edge_dir):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet'"
+    )
+    failures = []
+    for name in EDGE_QUERIES:
+        spdf = _harness.norm_pdf(qs[name](spark, edge_dir).toPandas())
+        opdf = _harness.norm_pdf(con.sql(oracles[name]).df())
+        if len(spdf) != len(opdf):
+            failures.append(f"{name}: rowcount {len(spdf)} vs {len(opdf)}")
+        elif sorted(spdf.columns) != sorted(opdf.columns):
+            failures.append(f"{name}: schema mismatch")
+        elif _harness.value_hash(spdf) != _harness.value_hash(opdf):
+            failures.append(f"{name}: value-hash mismatch")
+    assert not failures, failures
