@@ -1,0 +1,93 @@
+"""Guarantees for the evidence-freshness driver ordering (ADVICE r03 high).
+
+These tests make the driver-cap rotation a *checked* mechanism:
+  * ORACLE_LAWS.json can never go silently stale — any law change without
+    running scripts/update_oracle_laws.py fails the suite;
+  * every key whose law changed this round (or whose prior evidence
+    predates its law) sits inside the evaluated DRIVER_CAP prefix;
+  * a simulation proves every key re-enters the prefix within 2 rounds.
+"""
+
+from __future__ import annotations
+
+from tesserocr_spark.queries import ORACLES, QUERIES, freshness
+
+
+def test_laws_file_in_sync_with_registry():
+    laws = freshness.load_laws()
+    shas = freshness.current_shas()
+    assert set(laws) == set(shas), (
+        "ORACLE_LAWS.json key set differs from the registry — run "
+        "scripts/update_oracle_laws.py"
+    )
+    stale = sorted(k for k in shas if laws[k]["sha"] != shas[k])
+    assert not stale, (
+        f"law fingerprints changed for {stale} — run "
+        "scripts/update_oracle_laws.py so the driver ordering re-verifies them"
+    )
+
+
+def test_every_invalid_evidence_key_inside_driver_prefix():
+    shas = freshness.current_shas()
+    laws = freshness.load_laws()
+    greens = freshness.correctness_rounds()
+    now = freshness.current_round()
+    order = freshness.order_keys(QUERIES, shas, laws, greens, now)
+    invalid = [
+        k for k in order
+        if freshness.evidence_round(k, shas[k], laws, greens, now) == -1
+    ]
+    assert len(invalid) <= freshness.DRIVER_CAP, (
+        "more evidence-less keys than the driver snapshot can hold — "
+        "stage law changes across rounds"
+    )
+    prefix = set(order[: freshness.DRIVER_CAP])
+    missing = [k for k in invalid if k not in prefix]
+    assert not missing, f"keys without valid driver evidence excluded: {missing}"
+    # keys bumped THIS round (law change) are a subset of the invalid set
+    for k, rec in laws.items():
+        if rec["round"] >= now:
+            assert k in prefix, f"law of {k} changed in round {now} but key excluded"
+
+
+def test_entry_module_uses_freshness_order():
+    import __spark_entry__ as entry
+
+    assert list(entry.queries().keys()) == freshness.order_keys(QUERIES)
+    assert list(entry.oracle_sql().keys()) == freshness.order_keys(ORACLES)
+
+
+def test_ordering_deterministic():
+    assert freshness.order_keys(QUERIES) == freshness.order_keys(QUERIES)
+
+
+def test_rotation_covers_every_key_within_two_rounds():
+    """Simulate driver rounds: the first DRIVER_CAP keys of each round's
+    ordering receive a green row; every key must be evaluated at least once
+    in every window of 2 consecutive rounds (68 keys / cap 50)."""
+    keys = sorted(QUERIES)
+    shas = {k: "s" for k in keys}
+    laws = {k: {"sha": "s", "round": 0} for k in keys}
+    greens: dict[str, int] = {}
+    seen_round: dict[str, int] = {}
+    for rnd in range(1, 9):
+        order = freshness.order_keys(keys, shas, laws, greens, now=rnd)
+        prefix = order[: freshness.DRIVER_CAP]
+        for k in prefix:
+            greens[k] = rnd
+            seen_round[k] = rnd
+        if rnd >= 2:
+            overdue = [k for k in keys if seen_round.get(k, -10) < rnd - 1]
+            assert not overdue, f"round {rnd}: not evaluated within 2 rounds: {overdue}"
+
+
+def test_law_change_mid_simulation_forces_reverification():
+    keys = [f"k{i:02d}" for i in range(60)]
+    shas = {k: "s" for k in keys}
+    laws = {k: {"sha": "s", "round": 0} for k in keys}
+    greens = {k: 5 for k in keys}  # everyone freshly verified
+    # law of k59 changes in round 6 (recorded by the update script)
+    shas["k59"] = "s2"
+    laws["k59"] = {"sha": "s2", "round": 6}
+    order = freshness.order_keys(keys, shas, laws, greens, now=6)
+    assert order[0] == "k59"
