@@ -20,12 +20,13 @@ Scale design (the 100 TB contract):
   pigeonhole bit-slices, bottom-k shingle-hash blocks) — never an all-pairs
   theta join and never a fixed bucket count.
 * Verification (exact Jaccard / Hamming) runs only on blocked candidates.
-* The ``persist()`` calls on signature/shingle frames are deliberately
-  session-lifetime (no unpersist): the driver harness re-invokes each query
-  builder several times per comparison, and Spark's cache manager dedupes by
-  canonical plan, so the persists act as the campaign's materialized
-  side-tables. Job drivers that own a SparkSession should unpersist (or
-  stop the session) after their terminal action.
+* Signature/shingle side-table persists go through
+  ``registry.track_persist``: they stay cached for the session (the driver
+  harness re-invokes each query builder several times per comparison, and
+  Spark's cache manager dedupes by canonical plan), but a long-lived job
+  driver can release all of them explicitly with
+  ``registry.release_cache()`` after its terminal action instead of relying
+  on session teardown (ADVICE r03: unbounded storage accrual).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import HASH_SQL, query
+from .registry import HASH_SQL, query, track_persist
 
 #: planted duplicates: every doc_id % 7 == 0 gets a copy at id + 100000.
 _PLANT_MOD = 7
@@ -172,12 +173,40 @@ hashes AS (
 #: ``%`` agree bit-for-bit between Spark and DuckDB. (The law before this
 #: one salted the md5 per band — 8 full digests per shingle — and that
 #: hashing dominated the whole query's CPU profile at every scale factor.)
+_PERM = (
+    "(h * (1000003 + cast(999983 as bigint) * b) + (12345 + 67890 * b)) "
+    "% 2147483647"
+)
+
 _MINHASH_EXPR = (
     f"transform(sequence(0, {_N_HASHES - 1}), b -> named_struct("
     "'band', cast(b as int), "
-    "'minhash', array_min(transform(h31, "
-    "h -> (h * (1000003 + cast(999983 as bigint) * b) + (12345 + 67890 * b)) "
-    "% 2147483647))))"
+    f"'minhash', array_min(transform(h31, h -> {_PERM}))))"
+)
+
+#: same 8 minhashes as _MINHASH_EXPR but as a plain array (index = band) —
+#: the shape the banded LSH key construction needs.
+_MINHASH_ARRAY_EXPR = (
+    f"transform(sequence(0, {_N_HASHES - 1}), "
+    f"b -> array_min(transform(h31, h -> {_PERM})))"
+)
+
+#: banded LSH: b=4 bands x r=2 rows. The band key packs the band's two
+#: minhashes into one int64 — mh < 2^31 so ``mh[2b] * 2^31 + mh[2b+1]`` is
+#: injective (collision-free) and fits a signed 64-bit (< 2^62). A pair is
+#: a candidate iff BOTH minhashes of some band agree: P = 1-(1-j^2)^4,
+#: vs the old r=1 law's 1-(1-j)^8 which admitted a candidate on ANY single
+#: minhash collision. At the verify threshold j=0.5 recall is 0.68 (old:
+#: 0.996) but at the j>=0.85 the planted near-dups sit at it is >=0.9997 —
+#: the standard b x r precision/recall trade (Leskovec/Rajaraman/Ullman,
+#: Mining of Massive Datasets ch.3), bought to cut the candidate set the
+#: r03 decorrelation fix inflated (BENCH_r03 dedup_minhash_lsh 5.68 s).
+_N_BANDS = 4
+
+_BAND_KEYS_EXPR = (
+    f"transform(sequence(0, {_N_BANDS - 1}), b -> named_struct("
+    "'band', cast(b as int), "
+    "'bkey', mh[2 * b] * cast(2147483648 as bigint) + mh[2 * b + 1]))"
 )
 
 _H31_EXPR = "transform(sh, s -> " + _HASH.format(x="s") + " % cast(2147483648 as bigint))"
@@ -199,6 +228,19 @@ def _minhash_signatures(cand: DataFrame) -> DataFrame:
     return _minhash_signatures_from(_shingle_array(cand))
 
 
+def _band_keys_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) banded-LSH keys from a shingle-array frame:
+    one narrow projection (signature array -> 4 packed band keys), no
+    shuffle until the downstream bucket equi-join."""
+    return (
+        sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.expr(_H31_EXPR).alias("h31"))
+        .select("doc_id", F.expr(_MINHASH_ARRAY_EXPR).alias("mh"))
+        .select("doc_id", F.explode(F.expr(_BAND_KEYS_EXPR)).alias("x"))
+        .select("doc_id", "x.band", "x.bkey")
+    )
+
+
 @query(
     "minhash_signatures",
     oracle=f"""
@@ -216,10 +258,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
 WITH {_SQL_CANDIDATES_NEAR}, {_SQL_SHINGLES.rstrip()},
+bands AS (
+  SELECT e.doc_id, e.band // 2 AS band,
+         e.minhash * 2147483648 + o.minhash AS bkey
+  FROM hashes e JOIN hashes o
+    ON o.doc_id = e.doc_id AND o.band = e.band + 1
+  WHERE e.band % 2 = 0
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM hashes a JOIN hashes b
-    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 verified AS (
   SELECT p.a_id, p.b_id,
@@ -234,25 +283,29 @@ verified AS (
 SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= 0.5""",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection: signature → band-bucket self-join →
-    Jaccard verification of candidates. Signatures and shingle sets are
-    narrow array expressions; the only wide shuffles are the (band, minhash)
-    bucket equi-join and the two doc_id-keyed verification joins — bucket
-    sizes are bounded by signature collisions, not corpus size."""
+    """MinHash + banded LSH near-dup detection: signature → b=4 × r=2
+    band-key bucket self-join → Jaccard verification of candidates.
+    Signatures, band keys and shingle sets are narrow array expressions;
+    the only wide shuffles are the (band, bkey) bucket equi-join and the
+    two doc_id-keyed verification joins — bucket sizes are bounded by
+    two-minhash collisions (P ≈ j² per band), not corpus size. The r=2
+    banding is what keeps the verify stage affordable: with r=1 any
+    single-minhash collision produced a candidate (see _BAND_KEYS_EXPR
+    note for the threshold curve)."""
     cand = _candidates_near(spark, sf_dir)
     # materialize the shingle frame once: without this the corpus parquet is
-    # scanned 8x (signatures twice, shingle sets four times). At 10^12 docs
+    # scanned 8x (band keys twice, shingle sets four times). At 10^12 docs
     # this persist is the write-signatures-to-a-side-table stage of a real
     # dedup campaign; Spark's cache manager dedupes by canonical plan, so
     # repeated invocations share one materialization.
-    sh = _shingle_array(cand).persist()
-    sig = _minhash_signatures_from(sh)
-    a, b = sig.alias("a"), sig.alias("b")
+    sh = track_persist(_shingle_array(cand))
+    bk = _band_keys_from(sh)
+    a, b = bk.alias("a"), bk.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -358,7 +411,7 @@ def _simhash_pairs(sig: DataFrame, slices_sql: str, max_hamming: int = 2) -> Dat
     filter (free predicate) → distinct (the one shuffle that dedupes
     multi-slice matches). Shared by the 16- and 60-bit operators so the
     pairing law lives in exactly one place."""
-    s = sig.persist()  # both sides of the slice self-join
+    s = track_persist(sig)  # both sides of the slice self-join
     sl = s.select(
         "doc_id", "simhash", F.explode(F.expr(slices_sql)).alias("p")
     ).select("doc_id", "simhash", "p.sid", "p.sval")
@@ -518,7 +571,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and within-bucket membership is bounded by true near-duplicates,
     not by N/k."""
     cand = _candidates_near(spark, sf_dir)
-    sh = _shingle_array(cand).persist()  # scanned 3x otherwise (keys + both verify sides)
+    sh = track_persist(_shingle_array(cand))  # scanned 3x otherwise (keys + both verify sides)
     pairs = _blocked_candidate_pairs(sh)
     sa, sb = sh.alias("sa"), sh.alias("sb")
     jac = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast(

@@ -55,6 +55,38 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
 #: memoized extraction results per sf_dir (the multi-query persist tactic).
 _DOCS_CACHE: dict[tuple, DataFrame] = {}
 
+#: every query-level persisted frame (signature/shingle side-tables), so a
+#: long-lived driver can release executor storage explicitly instead of
+#: relying on session teardown (ADVICE r03: unbounded storage accrual).
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` registered for ``release_cache()``. Spark's cache
+    manager dedupes by canonical plan, so re-invocations of the same query
+    share one materialization and the extra registry entries are no-ops on
+    unpersist."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cache() -> int:
+    """Unpersist every tracked query-level frame plus the ``docs_for``
+    memo. Call from job drivers after the terminal action (a no-op for the
+    driver harness, which compares then stops its session). Returns the
+    number of frames released."""
+    n = 0
+    for df in _PERSISTED:
+        df.unpersist()
+        n += 1
+    _PERSISTED.clear()
+    for df in _DOCS_CACHE.values():
+        df.unpersist()
+        n += 1
+    _DOCS_CACHE.clear()
+    return n
+
 
 def docs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages_from_documents -> extract, persisted once per (app, sf_dir).

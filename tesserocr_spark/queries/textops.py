@@ -251,8 +251,12 @@ def quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and NO backslash escapes ([.] not \.) — Spark's SQL string literals eat
 #: unrecognized backslash escapes while DuckDB's do not, so an escaped
 #: pattern silently diverges between the F.expr and oracle sides.
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
-_URL_RE = r"https?://[^ ]+"
+#: case-insensitive via explicit classes (ADVICE r03: real corpora carry
+#: MixedCase@Mail and HTTPS:// — lowercase-only classes let them through).
+#: Explicit [A-Za-z] instead of (?i) keeps the pattern a single shared
+#: literal with no flag-syntax dependence.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_URL_RE = r"[Hh][Tt][Tt][Pp][Ss]?://[^ ]+"
 
 
 @query(
@@ -260,7 +264,10 @@ _URL_RE = r"https?://[^ ]+"
     oracle=f"""
 WITH planted AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' Contact BOB' || doc_id ||
+                   '@Mail.Example.COM or HTTPS://U.example.com/p/' || doc_id
+              WHEN doc_id % 5 = 0
               THEN text || ' contact bob' || doc_id ||
                    '@mail.example.com or https://u.example.com/p/' || doc_id
               ELSE text END AS text
@@ -275,20 +282,33 @@ FROM planted""",
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: count and redact emails/URLs (deterministically
-    planted on doc_id % 5 == 0, since the synthetic corpus contains none).
+    planted on doc_id % 5 == 0, since the synthetic corpus contains none;
+    every doc_id % 10 == 0 plants the MIXED-CASE variant so the
+    case-insensitive classes are actually exercised — ADVICE r03).
     The regexes are restricted to the Java-regex ∩ RE2 common dialect so
     Spark and the DuckDB oracle scrub byte-identically; the scrubbed text
     is fingerprinted rather than returned (at 100 TB the scrub runs
     in-place in the select — no shuffle, no UDF)."""
     d = _docs(spark, sf_dir)
-    text = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(
-            F.col("text"), F.lit(" contact bob"), F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com or https://u.example.com/p/"),
-            F.col("doc_id").cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    text = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"), F.lit(" Contact BOB"), F.col("doc_id").cast("string"),
+                F.lit("@Mail.Example.COM or HTTPS://U.example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact bob"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or https://u.example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
     p = d.select("doc_id", text.alias("text"))
     scrubbed = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"

@@ -88,6 +88,16 @@ def test_simhash_signatures_zero_shuffle(spark):
     assert "Exchange" not in _plan(simhash_signatures(spark, SF_DIR))
 
 
+def test_minhash_lsh_banded_equi_join_not_allpairs(spark):
+    """The b×r band keys must reach the candidate self-join as equi keys
+    (hash/sort-merge), never a nested-loop/cartesian all-pairs plan."""
+    from tesserocr_spark.queries.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_pairs_use_equi_join_not_allpairs(spark):
     """Pigeonhole bit-slice blocking must reach the join as equi keys — an
     all-pairs theta join (BNLJ/cartesian) is the O(N²) scale-killer."""
