@@ -228,15 +228,28 @@ def _minhash_signatures(cand: DataFrame) -> DataFrame:
     return _minhash_signatures_from(_shingle_array(cand))
 
 
-def _band_keys_from(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) banded-LSH keys from a shingle-array frame:
-    one narrow projection (signature array -> 4 packed band keys), no
-    shuffle until the downstream bucket equi-join."""
+def _minhash_array(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh: array<bigint>[8]) signature-array frame. Callers that
+    go on to index ``mh`` inside a lambda (the band-key build) MUST persist
+    this frame first: Catalyst's CollapseProject inlines a projected alias
+    into every lambda reference, so an unpersisted ``mh`` is re-computed
+    per reference — 8 references × 8 h31 evaluations ≈ 64× the md5 work
+    (measured 2.6× wall on the whole query; same trap as the r02 thin-
+    transport experiments in BENCH/PLANS.md). A persisted frame makes
+    ``mh[i]`` plain array indexing against the cached column."""
     return (
         sh.filter(F.size("sh") > 0)
         .select("doc_id", F.expr(_H31_EXPR).alias("h31"))
         .select("doc_id", F.expr(_MINHASH_ARRAY_EXPR).alias("mh"))
-        .select("doc_id", F.explode(F.expr(_BAND_KEYS_EXPR)).alias("x"))
+    )
+
+
+def _band_keys_from(mhf: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) banded-LSH keys from a (persisted) minhash-
+    array frame: one narrow projection, no shuffle until the downstream
+    bucket equi-join."""
+    return (
+        mhf.select("doc_id", F.explode(F.expr(_BAND_KEYS_EXPR)).alias("x"))
         .select("doc_id", "x.band", "x.bkey")
     )
 
@@ -299,7 +312,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup campaign; Spark's cache manager dedupes by canonical plan, so
     # repeated invocations share one materialization.
     sh = track_persist(_shingle_array(cand))
-    bk = _band_keys_from(sh)
+    bk = _band_keys_from(track_persist(_minhash_array(sh)))
     a, b = bk.alias("a"), bk.alias("b")
     pairs = (
         a.join(
@@ -445,6 +458,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ 2 on 16-bit signatures.
+
+    .. deprecated:: LEGACY — oracle-frozen law kept for parity; 16-bit
+       slice values have only 32-64 possible values, so candidate buckets
+       grow O(N²/64) at corpus scale. New dedup campaigns should use
+       ``dedup_simhash64`` (20-bit content-derived slices) — the
+       ``dedup_campaign_keep`` composition and COVERAGE.md point there.
 
     Candidate generation is the pigeonhole bit-slice EQUI-join: the
     signature splits into 3 slices, any pair within distance 2 agrees on at

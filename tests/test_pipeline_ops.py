@@ -49,6 +49,7 @@ class TestDedup:
         from tesserocr_spark.queries.dedup import (
             _band_keys_from,
             _candidates_near,
+            _minhash_array,
             _minhash_signatures_from,
             _shingle_array,
             dedup_minhash_lsh,
@@ -68,7 +69,7 @@ class TestDedup:
             .distinct()
             .count()
         )
-        bk = _band_keys_from(sh)
+        bk = _band_keys_from(_minhash_array(sh).persist())
         a, b = bk.alias("a"), bk.alias("b")
         new_cand = (
             a.join(
@@ -382,6 +383,93 @@ class TestMultimodal:
             assert r.width <= 64
             assert 0 < r.n_bytes <= src[r.doc_id]
             assert len(r.payload) == r.n_bytes
+
+
+class TestRealContainerParsers:
+    """Directed tests for the pure-Python BMP/WAV parsers (VERDICT r03 #4):
+    hand-built payloads with known header bytes, adversarial variants, and
+    the end-to-end Spark decode query."""
+
+    def test_parse_bmp_hand_built(self):
+        from tesserocr_spark.multimodal import make_bmp, parse_bmp
+
+        m = parse_bmp(make_bmp(17, 9, 24, fill=7))
+        assert m == {
+            "format": "bmp", "width": 17, "height": 9, "bpp": 24,
+            "n_channels": 3, "sample_rate": 0, "n_frames": 1,
+            # stride of 17px @24bpp = 52 bytes (padded from 51): 54 + 52*9
+            "n_bytes": 54 + 52 * 9,
+        }
+
+    def test_parse_bmp_top_down_negative_height(self):
+        import struct
+
+        from tesserocr_spark.multimodal import make_bmp, parse_bmp
+
+        b = bytearray(make_bmp(8, 4, 32))
+        struct.pack_into("<i", b, 22, -4)  # top-down row order
+        m = parse_bmp(bytes(b))
+        assert m["height"] == 4 and m["width"] == 8 and m["bpp"] == 32
+
+    def test_parse_bmp_rejects_malformed(self):
+        from tesserocr_spark.multimodal import make_bmp, parse_bmp
+
+        good = make_bmp(16, 4, 8)
+        assert parse_bmp(good)["bpp"] == 8
+        assert parse_bmp(b"BM" + good[2:40]) is None  # truncated header
+        assert parse_bmp(good[:54]) is None  # pixel array missing
+        assert parse_bmp(b"PNG" + good[3:]) is None  # wrong magic
+        bad_bpp = bytearray(good)
+        bad_bpp[28] = 13  # no such bpp
+        assert parse_bmp(bytes(bad_bpp)) is None
+
+    def test_parse_wav_hand_built_and_chunk_walk(self):
+        import struct
+
+        from tesserocr_spark.multimodal import make_wav, parse_wav
+
+        m = parse_wav(make_wav(2, 44100, 16, 1000))
+        assert m["format"] == "wav" and m["n_channels"] == 2
+        assert m["sample_rate"] == 44100 and m["bpp"] == 16
+        assert m["n_frames"] == 1000
+        # extra LIST chunk BEFORE fmt — the walker must skip it
+        w = make_wav(1, 8000, 8, 5)
+        listed = bytearray(
+            w[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + w[12:]
+        )
+        # fix RIFF size for the inserted 12 bytes
+        struct.pack_into("<I", listed, 4, struct.unpack_from("<I", listed, 4)[0] + 12)
+        m2 = parse_wav(bytes(listed))
+        assert m2 is not None and m2["n_frames"] == 5
+
+    def test_parse_wav_rejects_malformed(self):
+        from tesserocr_spark.multimodal import make_wav, parse_wav
+
+        w = make_wav(1, 8000, 8, 5)
+        assert parse_wav(w[:11]) is None
+        assert parse_wav(b"RIFX" + w[4:]) is None
+        assert parse_wav(w[:20]) is None  # chunk size overruns buffer
+
+    def test_decode_media_fallback_is_stub_law(self):
+        from tesserocr_spark.multimodal import decode_media
+
+        blob = b"not a container" * 10
+        m = decode_media(blob)
+        assert m["format"] == "raw"
+        assert m["width"] == len(blob) % 640 and m["n_frames"] == len(blob) % 7
+
+    def test_multimodal_decode_query_end_to_end(self, spark):
+        from tesserocr_spark.queries.textops import multimodal_decode
+
+        rows = {r.doc_id: r for r in multimodal_decode(spark, SF_DIR).collect()}
+        assert rows
+        for doc_id, r in rows.items():
+            if doc_id % 3 == 0:
+                assert r.format == "wav" and r.n_frames == 100 + doc_id % 50
+                assert r.bpp == 8 + (doc_id % 2) * 8
+            else:
+                assert r.format == "bmp" and r.bpp == 24
+                assert r.width == 1 + doc_id % 64 and r.height == 1 + doc_id % 32
 
 
 class TestEmbeddingDedup:
