@@ -21,7 +21,13 @@ Frozen output laws (shared with fold.py, FIXTURES.md §2):
   ``conf = 95.0 - ((3 * len(word)) % 11)`` (a stand-in for OCR confidence
   that is reproducible in ANSI SQL for the DuckDB oracle); higher levels
   average their words; ``MeanTextConf`` truncates to int
-  (tesserocr/tesserocr.pyx:2499-2501).
+  (tesserocr/tesserocr.pyx:2499-2501);
+* word separators are the six ASCII whitespace chars ONLY (``\\s`` in both
+  Java regex and RE2 — segment.py ``_ASCII_WS``); Unicode spaces
+  (U+3000, U+00A0, …) are word characters by law (r04);
+* OSD script = per-codepoint Unicode-range counts over the text, winner by
+  max count with alphabetical tie-break, config-lang fallback when no
+  letter classifies (core/osd.py; SQL twin ``registry.SQL_SCRIPT``).
 """
 
 from __future__ import annotations

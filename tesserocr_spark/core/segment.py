@@ -34,7 +34,17 @@ REGION_TAGS = frozenset(
 #: void/self-closing tags that never hold text.
 _VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
 
-_NONWS_RE = re.compile(r"\S")
+#: FROZEN whitespace law: word separators are the six ASCII whitespace
+#: chars — exactly what ``\s`` means in both Java regex (Spark SQL) and
+#: RE2 (the DuckDB oracles). Python's built-in str.split()/strip()/
+#: isspace() are Unicode-aware (U+3000 ideographic space, U+00A0 nbsp,
+#: U+2028 …), which silently diverges from both SQL engines — so BY LAW
+#: those codepoints are word characters, not separators (r04 edge-oracle
+#: finding, tests/test_edge_oracles.py row 9012).
+_ASCII_WS = " \t\n\r\f\v"
+_WS_SET = frozenset(_ASCII_WS)
+_WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\v]+")
+_NONWS_RE = re.compile(r"[^ \t\n\r\f\v]")
 
 #: sentinel style marking an explicit <br> fragment (data that merely
 #: *contains* a newline is ordinary whitespace, not a line break)
@@ -93,7 +103,7 @@ class RawParagraph:
         total = 0
         linked = 0
         for f in self.frags:
-            n = len(f.text.strip())
+            n = len(f.text.strip(_ASCII_WS))
             total += n
             if f.link:
                 linked += n
@@ -286,7 +296,9 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
         lines: list[list[tuple[str, int, tuple]]] = []
         cur: list[tuple[str, int, tuple]] = []
         cache = _WORD_CACHE
-        for w in " ".join([f.text for f in para.frags]).split():
+        for w in _WS_SPLIT_RE.split(" ".join([f.text for f in para.frags])):
+            if not w:  # re.split keeps boundary empties str.split() drops
+                continue
             ent = cache.get(w)
             if ent is None:
                 if len(cache) >= _WORD_CACHE_MAX:
@@ -321,7 +333,7 @@ def split_lines(para: RawParagraph) -> list[list[tuple[str, int, tuple]]]:
         buf: list[str] = []
         buf_char_flags: list[int] = []
         for ch, fl in seg:
-            if ch.isspace():
+            if ch in _WS_SET:
                 if buf:
                     wf = buf_char_flags[0]
                     for f in buf_char_flags:

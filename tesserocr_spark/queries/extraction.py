@@ -15,7 +15,15 @@ from pyspark.sql import functions as F
 
 from ..api import spans_long
 from ..constants import RIL
-from .registry import SQL_CONF, SQL_PAGES, SQL_WORDS, docs_for, query, words_for
+from .registry import (
+    SQL_CONF,
+    SQL_PAGES,
+    SQL_SCRIPT,
+    SQL_WORDS,
+    docs_for,
+    query,
+    words_for,
+)
 from .textops import _SQL_STOP  # single stopword-list definition (lockstep rule)
 
 @query(
@@ -123,7 +131,10 @@ def span_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "osd_script",
-    oracle=f"WITH {SQL_PAGES} SELECT url, 'Latin' AS script_name, 0 AS orient_deg FROM pages",
+    oracle=f"""WITH {SQL_PAGES}, {SQL_SCRIPT.strip()}
+SELECT p.url, coalesce(sw.script_name, 'Latin') AS script_name,
+       0 AS orient_deg
+FROM pages p LEFT JOIN script_win sw ON sw.url = p.url""",
 )
 def osd_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DetectOS (tesserocr/tesserocr.pyx:2615-2634): script + orientation."""
@@ -365,19 +376,19 @@ def tesseract_rect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "extract_full",
-    oracle=f"""WITH {SQL_PAGES},
+    oracle=f"""WITH {SQL_PAGES}, {SQL_SCRIPT.strip()},
 stats AS (
   SELECT url, norm,
          len(string_split(norm, ' ')) AS nw,
          length(replace(norm, ' ', '')) AS nsym
   FROM pages
 )
-SELECT url,
+SELECT s.url,
        CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END AS extracted_text,
        CAST(CASE WHEN norm = '' THEN 0 ELSE 3 + nw + nsym END AS INT) AS n_spans,
-       'Latin' AS script,
+       coalesce(sw.script_name, 'Latin') AS script,
        CAST(CASE WHEN norm = '' THEN 0 ELSE nw END AS INT) AS n_words
-FROM stats""",
+FROM stats s LEFT JOIN script_win sw ON sw.url = s.url""",
 )
 def extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Recognize struct (text + spans + osd + metrics) flattened to

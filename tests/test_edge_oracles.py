@@ -6,7 +6,15 @@ trailing tabs and newlines, single-word docs, doubled internal whitespace.
 Round 3 found five latent cross-engine law divergences that only these
 rows expose (trim-before-collapse ordering, phantom '' words from
 string_split(''), unguarded closed forms assuming a non-empty document);
-this test keeps the whole family fixed."""
+this test keeps the whole family fixed.
+
+Round 4 extended the corpus to non-ASCII (CJK no-space text, combining
+marks, astral emoji, ideographic space U+3000, mixed scripts, no-letter
+documents) and found two more: Python's Unicode-aware str.split()/
+isspace() treated U+3000 as a word separator while both SQL engines'
+ASCII ``\\s`` did not (fixed by freezing the ASCII law in segment.py),
+and the osd script oracle hardcoded 'Latin' where the engine classifies
+by Unicode ranges (fixed by encoding the real law as registry.SQL_SCRIPT)."""
 
 from __future__ import annotations
 
@@ -32,6 +40,7 @@ EDGE_QUERIES = (
     "charset_table",
     "thresholded_text",
     "extract_full",
+    "osd_script",
     "word_recognition_language",
     "mean_text_conf",
     "langid_heuristic",
@@ -57,6 +66,20 @@ COPY (
   UNION ALL SELECT 9004, 'tail space ' || chr(9), 'en', 'edge', 12
   UNION ALL SELECT 9005, 'one', 'en', 'edge', 3
   UNION ALL SELECT 9006, 'a  b' || chr(10) || chr(10) || 'c', 'de', 'edge', 6
+  -- r04 non-ASCII family: CJK (no spaces — one giant word), combining
+  -- marks (é as e+U+0301), astral-plane emoji (UTF-16 surrogate pairs vs
+  -- codepoint counting), ideographic space U+3000 (NOT ASCII \\s in either
+  -- engine — must stay inside the word), mixed scripts
+  UNION ALL SELECT 9007, '这是一个测试文档没有空格也没有标点', 'zh', 'edge', 17
+  UNION ALL SELECT 9008, 'cafe' || chr(769) || ' nai' || chr(776) || 've words', 'fr', 'edge', 17
+  UNION ALL SELECT 9009, 'good {chr(128512)}{chr(128512)} day {chr(128640)} end', 'en', 'edge', 16
+  UNION ALL SELECT 9010, '汉字 mixed with ascii 词 and spaces', 'zh', 'edge', 31
+  UNION ALL SELECT 9011, chr(128512), 'en', 'edge', 1
+  UNION ALL SELECT 9012, 'ideo' || chr(12288) || 'space', 'ja', 'edge', 10
+  UNION ALL SELECT 9013, 'привет мир αβγ δεζ', 'ru', 'edge', 18
+  -- no classifiable letter at all -> OSD falls back to the config-lang
+  -- script ('Latin' for every registry query)
+  UNION ALL SELECT 9014, '12 34 567 890', 'ru', 'edge', 13
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)
 """
     )
