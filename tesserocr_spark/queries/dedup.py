@@ -267,10 +267,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_SQL_CANDIDATES_NEAR}, {_SQL_SHINGLES.rstrip()},
+#: banded candidate generation in SQL (the oracle twin of _BAND_KEYS_EXPR +
+#: the bucket self-join) — shared by the LSH pair query and the LSH-path
+#: campaign so the banding law lives in one place.
+_SQL_BANDED_PAIRS = """
 bands AS (
   SELECT e.doc_id, e.band // 2 AS band,
          e.minhash * 2147483648 + o.minhash AS bkey
@@ -282,7 +282,15 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-),
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SQL_CANDIDATES_NEAR}, {_SQL_SHINGLES.rstrip()},
+{_SQL_BANDED_PAIRS.strip()},
 verified AS (
   SELECT p.a_id, p.b_id,
          round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
@@ -688,18 +696,17 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
 
 
 
-#: the clustering-law CTE chain shared by the clusters and campaign oracles
-#: (verified near pairs -> symmetric edge list -> recursive reachability):
-#: one definition so the jaccard threshold / fixpoint can never drift
-#: between the two.
-_SQL_NEAR_EDGES_REACH = """
+def _sql_edges_reach(near_pred: str) -> str:
+    """Clustering-law CTE chain (verified near pairs -> symmetric edge list
+    -> recursive reachability), parameterized only by the verification
+    predicate so the fixpoint law can never drift between pair sources."""
+    return f"""
 near AS (
   SELECT p.a_id, p.b_id
   FROM pairs p
   JOIN sets sa ON sa.doc_id = p.a_id
   JOIN sets sb ON sb.doc_id = p.b_id
-  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        / len(list_distinct(sa.sh || sb.sh)) >= 0.3
+  WHERE {near_pred}
 ),
 edges AS (
   SELECT a_id AS src, b_id AS dst FROM near
@@ -711,6 +718,20 @@ reach(node, label) AS (
   SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
 )
 """
+
+
+#: the n-gram-Jaccard clustering chain (clusters + jaccard-path campaign).
+_SQL_NEAR_EDGES_REACH = _sql_edges_reach(
+    "len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    " / len(list_distinct(sa.sh || sb.sh)) >= 0.3"
+)
+
+#: the LSH-path chain: same verification law as dedup_minhash_lsh
+#: (ROUNDED jaccard >= 0.5).
+_SQL_NEAR_EDGES_REACH_LSH = _sql_edges_reach(
+    "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE"
+    " / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.5"
+)
 
 
 @query(
@@ -761,9 +782,56 @@ def dedup_campaign_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds exactly one extra shuffle (the left_anti join on doc_id). At
     100 TB the cluster labels are the small side by construction
     (|duplicates| << |corpus|), so AQE turns the anti-join into a broadcast."""
+    return dedup_campaign(spark, sf_dir, pair_source="jaccard")
+
+
+@query(
+    "dedup_campaign_keep_lsh",
+    oracle=f"""
+WITH RECURSIVE {_SQL_CANDIDATES_NEAR.strip()}, {_SQL_SHINGLES.rstrip()},
+{_SQL_BANDED_PAIRS.strip()},
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id),
+{_SQL_NEAR_EDGES_REACH_LSH.strip()},
+labels AS (SELECT node, min(label) AS lab FROM reach GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM candidates
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node != lab)""",
+)
+def dedup_campaign_keep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same campaign over the MINHASH-LSH pair source (VERDICT r03 #8):
+    banded b×r candidates → jaccard ≥ 0.5 verify → connected components →
+    keep list. At 100 TB this is the path to run — pair generation cost is
+    bounded by two-minhash band collisions instead of bottom-k blocking."""
+    return dedup_campaign(spark, sf_dir, pair_source="minhash_lsh")
+
+
+def dedup_campaign(
+    spark: SparkSession, sf_dir: str, pair_source: str = "jaccard"
+) -> DataFrame:
+    """Job-facing campaign with a pluggable pair source:
+
+    * ``"jaccard"`` — ``ngram_jaccard_pairs`` (bottom-2 shingle blocking,
+      threshold 0.3): the exact, non-probabilistic baseline.
+    * ``"minhash_lsh"`` — ``dedup_minhash_lsh`` (banded b=4 × r=2 LSH,
+      verified jaccard ≥ 0.5): the probabilistic web-scale path.
+
+    Both compose the same cluster → keep-list tail; the pair stage is the
+    only difference, so the two keep lists agree wherever the pair sets
+    agree (pytest asserts exact agreement on the planted duplicates)."""
+    sources = {"jaccard": ngram_jaccard_pairs, "minhash_lsh": dedup_minhash_lsh}
+    try:
+        pair_fn = sources[pair_source]
+    except KeyError:
+        raise ValueError(
+            f"pair_source must be one of {sorted(sources)}, got {pair_source!r}"
+        ) from None
+    pairs = pair_fn(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    labels = connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
     cand = _candidates_near(spark, sf_dir).select("doc_id")
-    clusters = dedup_cc_clusters(spark, sf_dir)
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return (
         cand.join(drop, "doc_id", "left_anti")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"))

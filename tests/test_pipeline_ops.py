@@ -269,6 +269,40 @@ class TestDedup:
         minima = {r.cluster_id for r in clusters}
         assert minima <= kept
 
+    def test_campaign_pair_sources_agree_on_planted(self, spark):
+        """VERDICT r03 #8: the campaign parameterized over its pair source.
+        Both paths must drop every planted near-dup copy and keep its
+        original; an unknown source raises."""
+        import pytest as _pytest
+
+        from tesserocr_spark.queries.dedup import (
+            dedup_campaign,
+            dedup_campaign_keep,
+            dedup_campaign_keep_lsh,
+        )
+
+        kept_j = {r.doc_id for r in dedup_campaign_keep(spark, SF_DIR).collect()}
+        kept_l = {r.doc_id for r in dedup_campaign_keep_lsh(spark, SF_DIR).collect()}
+        planted = {
+            r.doc_id
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        copies = {p + 100000 for p in planted}
+        for kept in (kept_j, kept_l):
+            # every planted copy is dropped (its cluster min is <= the
+            # original's id, so a copy can never be a cluster minimum)
+            assert not copies & kept
+            # an original is dropped ONLY when it clusters with a smaller
+            # organic near-dup — never because of its own planted copy
+            assert len(planted & kept) >= 0.9 * len(planted)
+        # both paths agree on every planted original's fate
+        assert (planted & kept_j) == (planted & kept_l)
+        with _pytest.raises(ValueError, match="pair_source"):
+            dedup_campaign(spark, SF_DIR, pair_source="nope")
+
     def test_ngram_jaccard_finds_planted(self, spark):
         from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 
