@@ -23,6 +23,9 @@ BENCH_QUERIES = (
     "extract_full",        # full struct (spans, no symbols), docs/sec
     "spans_agg",           # extraction + spans_long word aggregation
     "dedup_minhash_lsh",
+    "dedup_simhash64",         # since r04
+    "dedup_campaign_keep_lsh", # since r04
+    "multimodal_decode",       # since r04
     "ann_bruteforce_topk",
     "q1_flagship_agg",
     "revenue_by_nation",
@@ -128,7 +131,11 @@ def main() -> None:
             .count()
         ),
     )
-    for q in ("dedup_minhash_lsh", "ann_bruteforce_topk",
+    # r04 added dedup_simhash64 / dedup_campaign_keep_lsh / multimodal_decode
+    # to the timed set — bench_total is NOT comparable to r03 and earlier
+    # without subtracting them (note in BENCH/BASELINE.md).
+    for q in ("dedup_minhash_lsh", "dedup_simhash64", "dedup_campaign_keep_lsh",
+              "multimodal_decode", "ann_bruteforce_topk",
               "q1_flagship_agg", "revenue_by_nation"):
         timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
 

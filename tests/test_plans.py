@@ -88,6 +88,18 @@ def test_simhash_signatures_zero_shuffle(spark):
     assert "Exchange" not in _plan(simhash_signatures(spark, SF_DIR))
 
 
+def test_multimodal_decode_chains_kernels_without_shuffle(spark):
+    """synth_payload_map -> decode_map must chain as two MapInPandas in the
+    SAME stage (partition-independent, payloads never cross the wire) over
+    a doc_id-only pruned scan."""
+    from tesserocr_spark.queries.textops import multimodal_decode
+
+    plan = _plan(multimodal_decode(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
 def test_minhash_lsh_banded_equi_join_not_allpairs(spark):
     """The b×r band keys must reach the candidate self-join as equi keys
     (hash/sort-merge), never a nested-loop/cartesian all-pairs plan."""
