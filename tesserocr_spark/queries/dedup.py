@@ -836,3 +836,102 @@ def dedup_campaign(
         cand.join(drop, "doc_id", "left_anti")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"))
     )
+
+
+# -- cross-corpus sentence dedup (C4 / CCNet-style boilerplate removal) --------
+
+#: a sentence is dropped when it occurs this many times across the corpus.
+_SENT_FREQ_DROP = 3
+
+#: planted boilerplate: every doc_id % 6 == 0 gets the same trailing
+#: sentence, which the frequency rule must strip from ALL of them.
+_BOILER_SENT = "subscribe to our newsletter for updates"
+
+
+@query(
+    "dedup_sentences",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN trim(text) || '. {_BOILER_SENT}'
+              ELSE trim(text) END AS text
+  FROM documents
+),
+sents AS (
+  SELECT doc_id,
+         unnest(string_split(text, '. ')) AS sent,
+         generate_subscripts(string_split(text, '. '), 1) AS pos
+  FROM planted
+),
+freq AS (SELECT sent, count(*) AS n FROM sents WHERE sent != '' GROUP BY sent),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.sent,
+         (s.sent != '' AND f.n >= {_SENT_FREQ_DROP}) AS dropped
+  FROM sents s LEFT JOIN freq f ON f.sent = s.sent
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN sent END,
+                               '. ' ORDER BY pos), '')) AS kept_fp
+FROM flagged GROUP BY doc_id""",
+)
+def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus SENTENCE-level dedup — the C4/CCNet boilerplate-removal
+    step (Raffel et al. 2020 §2.2; public method re-expressed as DataFrame
+    ops): split every document into sentences, count each sentence's global
+    occurrences, drop any sentence seen >= _SENT_FREQ_DROP times
+    corpus-wide, and fingerprint the surviving document. The synthetic
+    corpus has no shared sentences, so a fixed boilerplate sentence is
+    planted on every doc_id % 6 == 0 document.
+
+    100 TB shape: exactly two shuffles — the sentence-keyed count aggregate
+    (map-side partial combine; key cardinality grows with the corpus) and
+    the per-doc regroup — plus one equi-join of sentences against their
+    counts. No collect, no windows over the whole corpus; per-doc state is
+    bounded by document length. Spark ``split`` takes a REGEX so the
+    separator is ``[.] `` (the ``[.]``-not-``\\.`` rule — Spark SQL string
+    literals eat unknown backslash escapes, CLAUDE.md); DuckDB
+    ``string_split`` takes the literal ``'. '``."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.trim("text").alias("text"))
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat("text", F.lit(f". {_BOILER_SENT}")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    sents = planted.select(
+        "doc_id", F.posexplode(F.split("text", "[.] ")).alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    freq = (
+        sents.filter(F.col("sent") != "")
+        .groupBy("sent")
+        .agg(F.count("*").alias("n"))
+    )
+    flagged = sents.join(freq, "sent", "left").select(
+        "doc_id", "pos", "sent",
+        ((F.col("sent") != "") & (F.col("n") >= _SENT_FREQ_DROP)).alias("dropped"),
+    )
+    # collect_list skips the NULLs when() leaves for dropped sentences;
+    # array_sort orders by the leading pos field -> original sentence order
+    kept_struct = F.when(~F.col("dropped"), F.struct("pos", "sent"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sents"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)).cast("bigint")
+            .alias("n_dropped"),
+            F.sort_array(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            "doc_id", "n_sents", "n_dropped",
+            F.md5(
+                F.array_join(F.expr("transform(kept, x -> x.sent)"), ". ")
+            ).alias("kept_fp"),
+        )
+    )

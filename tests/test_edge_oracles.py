@@ -48,6 +48,7 @@ EDGE_QUERIES = (
     "token_count",
     "repetition_filter",
     "unpivot_doc_stats",
+    "dedup_sentences",
 )
 
 

@@ -303,6 +303,30 @@ class TestDedup:
         with _pytest.raises(ValueError, match="pair_source"):
             dedup_campaign(spark, SF_DIR, pair_source="nope")
 
+    def test_sentence_dedup_strips_planted_boilerplate(self, spark):
+        """C4-style cross-corpus sentence dedup: the planted boilerplate
+        sentence (every doc_id % 6 == 0) must be dropped from ALL its
+        hosts, and removing it restores the original document bytes."""
+        import hashlib
+
+        from tesserocr_spark.queries.dedup import dedup_sentences
+
+        rows = {r.doc_id: r for r in dedup_sentences(spark, SF_DIR).collect()}
+        orig = {
+            r.doc_id: r.text.strip()
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        }
+        assert rows.keys() == orig.keys()
+        planted = [i for i in rows if i % 6 == 0]
+        assert planted
+        for i in planted:
+            assert rows[i].n_dropped >= 1  # the boilerplate never survives
+        for i, r in rows.items():
+            if (i % 6 == 0 and r.n_dropped == 1) or (i % 6 and r.n_dropped == 0):
+                # only the planted sentence (or nothing) was dropped ->
+                # surviving fingerprint is the original document
+                assert r.kept_fp == hashlib.md5(orig[i].encode()).hexdigest(), i
+
     def test_ngram_jaccard_finds_planted(self, spark):
         from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 
