@@ -221,7 +221,14 @@ def quality_gate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     each rule surfaced as its own column plus the conjunction ``keep``.
     Complements ``quality_score`` (soft score) with the hard gates a
     pretraining pipeline applies first. All JVM expressions."""
-    d = _docs(spark, sf_dir)
+    return quality_gate_columns(_docs(spark, sf_dir))
+
+
+def quality_gate_columns(d: DataFrame) -> DataFrame:
+    """The gate projection over any (doc_id, text) frame — batch OR
+    streaming: pure stateless JVM expressions, so the identical operator
+    runs inside a ``readStream`` pipeline unchanged (stream == batch
+    asserted in tests/test_streaming.py)."""
     words = F.split(F.trim("text"), " ")
     n_words = F.size(words)
     n_alpha = F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))

@@ -139,3 +139,38 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     urls = [r.url for r in got]
     assert len(urls) == len(set(urls))  # no url emitted twice
     assert len(set(urls)) == 45  # union of both crawls exactly once
+
+
+def test_stream_quality_gates_equal_batch(spark, tmp_path):
+    """The LLM-pipeline operators are stateless JVM projections, so the
+    SAME operator runs on a streaming frame — locked for the quality
+    gates: stream output == batch output on identical documents."""
+    from tesserocr_spark.queries.textops import quality_gate_columns
+
+    src = str(tmp_path / "qsrc")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(4).write.parquet(src)
+
+    stream_in = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        quality_gate_columns(stream_in)
+        .writeStream.format("memory")
+        .queryName("stream_gates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM stream_gates").collect()}
+    exp = {r.doc_id: r for r in quality_gate_columns(docs).collect()}
+    assert got.keys() == exp.keys()
+    for i in exp:
+        assert got[i] == exp[i], i
