@@ -34,7 +34,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-document extraction budget (0 = unbounded)")
     ap.add_argument("--variables", default="",
                     help="comma list of name=value extractor variables")
+    ap.add_argument("--dedup-campaign", choices=("jaccard", "minhash_lsh"),
+                    help="instead of extraction: run the near-dup campaign "
+                         "over --input (a (doc_id, text) documents parquet) "
+                         "and write surviving doc_ids to <output>.keep")
     args = ap.parse_args(argv)
+    if args.dedup_campaign and not args.input:
+        ap.error("--dedup-campaign requires --input (documents parquet)")
 
     from pyspark.sql import SparkSession
 
@@ -47,6 +53,26 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+
+    if args.dedup_campaign:
+        from tesserocr_spark.queries.dedup import campaign_keep_frame
+        from tesserocr_spark.queries.registry import release_cache
+
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        keep = campaign_keep_frame(docs, pair_source=args.dedup_campaign)
+        keep.write.mode("overwrite").parquet(f"{args.output}.keep")
+        kept = spark.read.parquet(f"{args.output}.keep")
+        n_docs, n_kept = docs.count(), kept.count()
+        release_cache()  # free the signature side-tables (terminal action)
+        print(json.dumps({
+            "keep": f"{args.output}.keep",
+            "pair_source": args.dedup_campaign,
+            "n_docs": n_docs,
+            "n_kept": n_kept,
+            "n_dropped": n_docs - n_kept,
+        }))
+        spark.stop()
+        return 0
 
     from tesserocr_spark.config import ExtractorConfig
     from tesserocr_spark.jobs import process_pages

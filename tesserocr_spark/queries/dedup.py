@@ -313,7 +313,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is what keeps the verify stage affordable: with r=1 any
     single-minhash collision produced a candidate (see _BAND_KEYS_EXPR
     note for the threshold curve)."""
-    cand = _candidates_near(spark, sf_dir)
+    return minhash_lsh_pairs_frame(_candidates_near(spark, sf_dir))
+
+
+def minhash_lsh_pairs_frame(cand: DataFrame) -> DataFrame:
+    """The banded-LSH pair operator over any (doc_id, text) frame — the
+    plant-free production path the job CLI runs on real corpora."""
     # materialize the shingle frame once: without this the corpus parquet is
     # scanned 8x (band keys twice, shingle sets four times). At 10^12 docs
     # this persist is the write-signatures-to-a-side-table stage of a real
@@ -597,7 +602,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hashes (bottom-k sketch), so bucket cardinality scales with the
     corpus and within-bucket membership is bounded by true near-duplicates,
     not by N/k."""
-    cand = _candidates_near(spark, sf_dir)
+    return jaccard_pairs_frame(_candidates_near(spark, sf_dir))
+
+
+def jaccard_pairs_frame(cand: DataFrame) -> DataFrame:
+    """The blocked-Jaccard pair operator over any (doc_id, text) frame —
+    the plant-free production path the job CLI runs on real corpora."""
     sh = track_persist(_shingle_array(cand))  # scanned 3x otherwise (keys + both verify sides)
     pairs = _blocked_candidate_pairs(sh)
     sa, sb = sh.alias("sa"), sh.alias("sb")
@@ -817,23 +827,32 @@ def dedup_campaign(
     Both compose the same cluster → keep-list tail; the pair stage is the
     only difference, so the two keep lists agree wherever the pair sets
     agree (pytest asserts exact agreement on the planted duplicates)."""
-    sources = {"jaccard": ngram_jaccard_pairs, "minhash_lsh": dedup_minhash_lsh}
+    return campaign_keep_frame(_candidates_near(spark, sf_dir), pair_source)
+
+
+def campaign_keep_frame(
+    docs: DataFrame, pair_source: str = "jaccard"
+) -> DataFrame:
+    """The PRODUCTION campaign over any (doc_id, text) frame — no planted
+    duplicates, the shape `python -m tesserocr_spark --dedup-campaign` runs
+    on a real corpus: pairs (pluggable source) → connected components →
+    keep-list anti-join returning surviving doc_ids."""
+    sources = {"jaccard": jaccard_pairs_frame, "minhash_lsh": minhash_lsh_pairs_frame}
     try:
         pair_fn = sources[pair_source]
     except KeyError:
         raise ValueError(
             f"pair_source must be one of {sorted(sources)}, got {pair_source!r}"
         ) from None
-    pairs = pair_fn(spark, sf_dir).select(
+    pairs = pair_fn(docs).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
     labels = connected_components(pairs)
     drop = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    cand = _candidates_near(spark, sf_dir).select("doc_id")
     return (
-        cand.join(drop, "doc_id", "left_anti")
+        docs.select("doc_id").join(drop, "doc_id", "left_anti")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"))
     )
 
