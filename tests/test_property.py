@@ -143,3 +143,49 @@ def test_fold_separator_law(html, line_sep, para_sep):
             s = s.replace(sep, " ")
         return s.split()
     assert strip(custom, (line_sep, para_sep)) == strip(d.text, ("\n", "\n"))
+
+
+class TestContainerParserProperties:
+    """Build → parse roundtrip laws for the real BMP/WAV parsers."""
+
+    @given(
+        w=st.integers(min_value=1, max_value=512),
+        h=st.integers(min_value=1, max_value=256),
+        bpp=st.sampled_from([1, 4, 8, 16, 24, 32]),
+        fill=st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_roundtrip(self, w, h, bpp, fill):
+        from tesserocr_spark.multimodal import make_bmp, parse_bmp
+
+        m = parse_bmp(make_bmp(w, h, bpp, fill))
+        assert m is not None
+        assert (m["width"], m["height"], m["bpp"]) == (w, h, bpp)
+        assert m["n_frames"] == 1
+
+    @given(
+        ch=st.integers(min_value=1, max_value=8),
+        rate=st.integers(min_value=1, max_value=192000),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        frames=st.integers(min_value=0, max_value=4096),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip(self, ch, rate, bits, frames):
+        from tesserocr_spark.multimodal import make_wav, parse_wav
+
+        m = parse_wav(make_wav(ch, rate, bits, frames))
+        assert m is not None
+        assert (m["n_channels"], m["sample_rate"], m["bpp"]) == (ch, rate, bits)
+        assert m["n_frames"] == frames
+
+    @given(blob=st.binary(max_size=200))
+    @settings(max_examples=80, deadline=None)
+    def test_arbitrary_bytes_never_crash_decode(self, blob):
+        """decode_media never raises on arbitrary input — malformed blobs
+        fall back to the deterministic stub (a 100 TB scan must not die
+        on one bad payload)."""
+        from tesserocr_spark.multimodal import decode_media
+
+        m = decode_media(blob)
+        assert m["format"] in ("bmp", "wav", "raw")
+        assert m["n_bytes"] == len(blob)
