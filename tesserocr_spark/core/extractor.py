@@ -22,8 +22,9 @@ Frozen output laws (shared with fold.py, FIXTURES.md §2):
   that is reproducible in ANSI SQL for the DuckDB oracle); higher levels
   average their words; ``MeanTextConf`` truncates to int
   (tesserocr/tesserocr.pyx:2499-2501);
-* word separators are the six ASCII whitespace chars ONLY (``\\s`` in both
-  Java regex and RE2 — segment.py ``_ASCII_WS``); Unicode spaces
+* word separators are exactly the five chars of the Java-regex ∩ RE2
+  ``\\s`` intersection — space ``\\t \\n \\r \\f`` (segment.py
+  ``_ASCII_WS``); ``\\v`` (RE2 ``\\s`` excludes it) and Unicode spaces
   (U+3000, U+00A0, …) are word characters by law (r04);
 * OSD script = per-codepoint Unicode-range counts over the text, winner by
   max count with alphabetical tie-break, config-lang fallback when no

@@ -34,17 +34,19 @@ REGION_TAGS = frozenset(
 #: void/self-closing tags that never hold text.
 _VOID_TAGS = frozenset("br img hr meta link input area base col embed source track wbr".split())
 
-#: FROZEN whitespace law: word separators are the six ASCII whitespace
-#: chars — exactly what ``\s`` means in both Java regex (Spark SQL) and
-#: RE2 (the DuckDB oracles). Python's built-in str.split()/strip()/
-#: isspace() are Unicode-aware (U+3000 ideographic space, U+00A0 nbsp,
-#: U+2028 …), which silently diverges from both SQL engines — so BY LAW
-#: those codepoints are word characters, not separators (r04 edge-oracle
-#: finding, tests/test_edge_oracles.py row 9012).
-_ASCII_WS = " \t\n\r\f\v"
+#: FROZEN whitespace law: word separators are the FIVE chars of the
+#: Java-regex ∩ RE2 ``\s`` intersection — space \t \n \r \f. RE2 (the
+#: DuckDB oracle dialect) does NOT count \v as ``\s`` while Java does, so
+#: \v is a word character BY LAW (r04 code-review finding; edge row 9015
+#: locks it). Python's built-in str.split()/strip()/isspace() are
+#: Unicode-aware (U+3000 ideographic space, U+00A0 nbsp, U+2028 …, and
+#: \v), which silently diverges from the SQL engines — so those
+#: codepoints are all word characters, not separators (r04 edge-oracle
+#: finding, tests/test_edge_oracles.py rows 9012/9015).
+_ASCII_WS = " \t\n\r\f"
 _WS_SET = frozenset(_ASCII_WS)
-_WS_SPLIT_RE = re.compile(r"[ \t\n\r\f\v]+")
-_NONWS_RE = re.compile(r"[^ \t\n\r\f\v]")
+_WS_SPLIT_RE = re.compile(r"[ \t\n\r\f]+")
+_NONWS_RE = re.compile(r"[^ \t\n\r\f]")
 
 #: sentinel style marking an explicit <br> fragment (data that merely
 #: *contains* a newline is ordinary whitespace, not a line break)

@@ -137,7 +137,12 @@ def decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     via the real BMP/WAV parsers with stub fallback."""
     cols = [c.split()[0] for c in DECODE_SCHEMA.split(", ")]
     for pdf in batches:
-        metas = [decode_media(bytes(p)) for p in pdf["payload"]]
+        # NULL payloads (normal in a binary column at corpus scale) decode
+        # as empty blobs via the stub fallback — a scan never dies on one
+        metas = [
+            decode_media(bytes(p) if p is not None else b"")
+            for p in pdf["payload"]
+        ]
         out = pd.DataFrame(metas, columns=cols[1:])
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out

