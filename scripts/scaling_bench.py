@@ -231,10 +231,13 @@ def main() -> None:
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # BENCH/BASELINE.md is the CURATED multi-run record (gate summary,
+    # step-change notes, discarded-run log) — never clobber it. Each run
+    # lands in BASELINE_latest.md for manual merge into the record.
+    out_path = os.path.join(REPO, "BENCH", "BASELINE_latest.md")
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines))
-    print(f"wrote {out_path}")
+    print(f"wrote {out_path} (merge into BENCH/BASELINE.md by hand)")
     print(f"efficiency text={eff_text:.3f} full={eff_full:.3f}")
 
 
