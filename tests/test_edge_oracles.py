@@ -49,6 +49,28 @@ EDGE_QUERIES = (
     "repetition_filter",
     "unpivot_doc_stats",
     "dedup_sentences",
+    # r04 expansion: every remaining documents-only query — the dedup
+    # signature laws (shingles, minhash, simhash) and the textops family
+    # have their own empty/CJK/emoji edge behavior
+    "doc_fingerprint",
+    "quality_gate_rules",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "token_budget_pack",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "ngram_jaccard_pairs",
+    "dedup_cc_clusters",
+    "dedup_campaign_keep",
+    "dedup_campaign_keep_lsh",
+    "decontaminate_ngram_overlap",
+    "multimodal_stub",
+    "multimodal_decode",
 )
 
 
