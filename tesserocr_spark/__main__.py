@@ -38,9 +38,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="instead of extraction: run the near-dup campaign "
                          "over --input (a (doc_id, text) documents parquet) "
                          "and write surviving doc_ids to <output>.keep")
+    ap.add_argument("--sentence-dedup", action="store_true",
+                    help="instead of extraction: C4-style cross-corpus "
+                         "sentence dedup over --input; writes cleaned "
+                         "(doc_id, text) to <output>.clean")
     args = ap.parse_args(argv)
-    if args.dedup_campaign and not args.input:
-        ap.error("--dedup-campaign requires --input (documents parquet)")
+    if (args.dedup_campaign or args.sentence_dedup) and not args.input:
+        ap.error("--dedup-campaign/--sentence-dedup require --input "
+                 "(documents parquet)")
 
     from pyspark.sql import SparkSession
 
@@ -53,6 +58,22 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+
+    if args.sentence_dedup:
+        from tesserocr_spark.queries.dedup import sentence_dedup_frame
+
+        docs = (
+            spark.read.parquet(args.input)
+            .select("doc_id", "text")
+            .repartition(4 * spark.sparkContext.defaultParallelism)
+        )
+        sentence_dedup_frame(docs).write.mode("overwrite").parquet(
+            f"{args.output}.clean"
+        )
+        n = spark.read.parquet(f"{args.output}.clean").count()
+        print(json.dumps({"clean": f"{args.output}.clean", "n_docs": n}))
+        spark.stop()
+        return 0
 
     if args.dedup_campaign:
         from tesserocr_spark.queries.dedup import campaign_keep_frame

@@ -867,6 +867,48 @@ _SENT_FREQ_DROP = 3
 _BOILER_SENT = "subscribe to our newsletter for updates"
 
 
+def _sentence_flags(docs: DataFrame, drop_freq: int = _SENT_FREQ_DROP) -> DataFrame:
+    """(doc_id, pos, sent, dropped) — every sentence of every document with
+    its global-frequency drop verdict. Shared by the oracle query and the
+    production text-cleaning operator so the law lives once."""
+    sents = docs.select(
+        "doc_id", F.posexplode(F.split("text", "[.] ")).alias("pos0", "sent")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    freq = (
+        sents.filter(F.col("sent") != "")
+        .groupBy("sent")
+        .agg(F.count("*").alias("n"))
+    )
+    return sents.join(freq, "sent", "left").select(
+        "doc_id", "pos", "sent",
+        ((F.col("sent") != "") & (F.col("n") >= drop_freq)).alias("dropped"),
+    )
+
+
+def sentence_dedup_frame(
+    docs: DataFrame, drop_freq: int = _SENT_FREQ_DROP
+) -> DataFrame:
+    """PRODUCTION C4-style sentence dedup over any (doc_id, text) frame —
+    no planting: returns (doc_id, text) with every globally-frequent
+    sentence (>= drop_freq corpus-wide occurrences) removed and the
+    remainder rejoined in original order. The text-cleaning stage a
+    pretraining pipeline runs before tokenization; shipped in the job CLI
+    as ``--sentence-dedup``."""
+    flagged = _sentence_flags(
+        docs.select("doc_id", F.trim("text").alias("text")), drop_freq
+    )
+    kept_struct = F.when(~F.col("dropped"), F.struct("pos", "sent"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(kept_struct)).alias("kept"))
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(kept, x -> x.sent)"), ". ")
+            .alias("text"),
+        )
+    )
+
+
 @query(
     "dedup_sentences",
     oracle=f"""
@@ -924,18 +966,7 @@ def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(f". {_BOILER_SENT}")),
         ).otherwise(F.col("text")).alias("text"),
     )
-    sents = planted.select(
-        "doc_id", F.posexplode(F.split("text", "[.] ")).alias("pos0", "sent")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
-    freq = (
-        sents.filter(F.col("sent") != "")
-        .groupBy("sent")
-        .agg(F.count("*").alias("n"))
-    )
-    flagged = sents.join(freq, "sent", "left").select(
-        "doc_id", "pos", "sent",
-        ((F.col("sent") != "") & (F.col("n") >= _SENT_FREQ_DROP)).alias("dropped"),
-    )
+    flagged = _sentence_flags(planted)
     # collect_list skips the NULLs when() leaves for dropped sentences;
     # array_sort orders by the leading pos field -> original sentence order
     kept_struct = F.when(~F.col("dropped"), F.struct("pos", "sent"))

@@ -327,6 +327,27 @@ class TestDedup:
                 # surviving fingerprint is the original document
                 assert r.kept_fp == hashlib.md5(orig[i].encode()).hexdigest(), i
 
+    def test_sentence_dedup_frame_cleans_planted_text(self, spark):
+        """Production text-cleaning path: planting boilerplate on every
+        third doc and cleaning must return EXACTLY the original text for
+        those docs (no other sentence reaches the drop frequency)."""
+        from tesserocr_spark.queries.dedup import sentence_dedup_frame
+
+        orig = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", F.trim("text").alias("text"))
+        )
+        planted = orig.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat("text", F.lit(". click here to subscribe now")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        cleaned = {r.doc_id: r.text for r in sentence_dedup_frame(planted).collect()}
+        for r in orig.collect():
+            assert cleaned[r.doc_id] == r.text, r.doc_id
+
     def test_ngram_jaccard_finds_planted(self, spark):
         from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 
