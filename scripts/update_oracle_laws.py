@@ -8,12 +8,18 @@ last changed; keys whose sha differs from the committed record are bumped to
 the current round, which forces them to the front of the driver ordering
 (freshness.order_keys) so the external harness re-verifies them this round.
 
-Usage: python scripts/update_oracle_laws.py [--check] [--round N]
+Usage: python scripts/update_oracle_laws.py [--check] [--round N] [--migrate]
   --check    exit 1 if the file is out of sync, without writing.
   --round N  record changed keys at round N instead of the inferred current
              round (bootstrap only: the initial file was written with
              --round 3 because the registry at that commit was byte-identical
              to the code the round-3 driver snapshot evaluated).
+  --migrate  fingerprint-ALGORITHM migration: rewrite every key's sha under
+             the current law_sha implementation but KEEP its recorded round.
+             Only valid in a commit that changes no query implementation or
+             oracle (verify with scripts/check_oracles.py before/after) —
+             the laws are unchanged, only how they are hashed. Used r05 for
+             the per-module -> per-function-closure granularity change.
 """
 
 from __future__ import annotations
@@ -37,11 +43,15 @@ def main() -> int:
     if "--round" in sys.argv:
         now = int(sys.argv[sys.argv.index("--round") + 1])
 
+    migrate = "--migrate" in sys.argv
     changed, out = [], {}
     for key in sorted(shas):
         rec = laws.get(key)
         if rec and rec.get("sha") == shas[key]:
             out[key] = rec
+        elif migrate and rec:
+            out[key] = {"sha": shas[key], "round": rec["round"]}
+            changed.append(key)
         else:
             out[key] = {"sha": shas[key], "round": now}
             changed.append(key)
@@ -55,8 +65,17 @@ def main() -> int:
         return 0
 
     path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    greens = freshness.correctness_rounds(root)
+    invalid = [
+        k for k in out
+        if freshness.evidence_round(k, shas[k], out, greens, now) == -1
+    ]
     print(f"wrote {path.name}: {len(out)} keys, round={now}, "
-          f"bumped={changed or 'none'}, dropped={stale or 'none'}")
+          f"bumped={changed if migrate else changed or 'none'}"
+          f"{' (migrated, rounds kept)' if migrate else ''}, "
+          f"dropped={stale or 'none'}")
+    print(f"headroom: {len(invalid)}/{freshness.DRIVER_CAP} invalid-evidence "
+          f"keys (soft margin at {freshness.DRIVER_CAP - freshness.SOFT_MARGIN})")
     return 0
 
 

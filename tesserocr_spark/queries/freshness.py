@@ -30,11 +30,22 @@ auditable* instead of hand-maintained:
   consecutive rounds (2 rounds at 71 keys / cap 50) — no key's evidence can
   age out silently.
 
-Scope note: the fingerprint covers the oracle SQL (which inlines all shared
-SQL law fragments at import time) and the defining module's source. Changes
-to deeper shared code (``core/``, ``pages.py``) are guarded by the byte-law
-test suite and by ``scripts/check_oracles.py``, which runs ALL registered
-keys against DuckDB every round regardless of this ordering.
+Fingerprint granularity (r05, VERDICT r04 task #2): the sha covers the
+oracle SQL (which inlines all shared SQL law fragments at import time) plus
+the *reference closure* of the Spark implementation — the function's own
+source and, transitively, every function / class / constant it references
+inside ``tesserocr_spark.queries`` (resolved through the code object's name
+table, including module-attribute access like ``registry.HASH_SQL``).
+Editing one query function no longer invalidates every key its module
+defines — r04 ended at exactly 50/50 invalid keys vs the 50-key cap under
+the old per-module scheme, with zero headroom for the r05 rotation.
+
+Scope note: changes to deeper shared code (``core/``, ``pages.py``) are
+deliberately NOT folded in — doing so would invalidate all registered keys
+at once (> cap) on any core edit, making core maintenance impossible under
+the overflow test. Core is guarded by the byte-law test suite and by
+``scripts/check_oracles.py``, which runs ALL registered keys against DuckDB
+every round regardless of this ordering.
 """
 
 from __future__ import annotations
@@ -43,30 +54,97 @@ import hashlib
 import inspect
 import json
 import re
-import sys
+import types
 from pathlib import Path
 
 #: observed driver snapshot size (see module docstring — disclosure).
 DRIVER_CAP = 50
 
+#: fail the suite early when invalid-evidence keys exceed this (ADVICE r04:
+#: at exactly CAP the "changed keys always evaluated this round" guarantee
+#: is already one edit from unsatisfiable — keep a staging margin).
+SOFT_MARGIN = 5
+
 _LAWS_FILE = "ORACLE_LAWS.json"
 _CORRECTNESS_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+
+#: only references inside this package participate in the fingerprint.
+_PKG_PREFIX = "tesserocr_spark.queries"
+
+#: module-level *runtime state* (mutable caches) — not law; their repr
+#: depends on what ran earlier in the process and must never be hashed.
+_RUNTIME_STATE = {"_DOCS_CACHE", "_PERSISTED"}
+
+#: value types whose repr is a deterministic function of the module source.
+_CONST_TYPES = (str, bytes, int, float, bool, complex, tuple, frozenset,
+                list, dict, set, type(None))
 
 
 def repo_root() -> Path:
     return Path(__file__).resolve().parents[2]
 
 
+def _code_names(code) -> set[str]:
+    """All global/attribute names used by a code object, including nested
+    lambdas / comprehensions / inner defs (they hide in co_consts)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _law_parts(fn) -> list[str]:
+    """Sorted text parts of fn's reference closure within the queries pkg."""
+    parts: dict[str, str] = {}
+    stack: list = [fn]
+    seen: set[str] = set()
+
+    def visit(label: str, v, names: set[str]) -> None:
+        if isinstance(v, types.FunctionType) and v.__module__ and \
+                v.__module__.startswith(_PKG_PREFIX):
+            if label not in seen:
+                seen.add(label)
+                stack.append(v)
+        elif isinstance(v, types.ModuleType) and v.__name__.startswith(_PKG_PREFIX):
+            for a in sorted(names):
+                if a not in _RUNTIME_STATE and hasattr(v, a):
+                    visit(f"{v.__name__}.{a}", getattr(v, a), names)
+        elif isinstance(v, type) and getattr(v, "__module__", "").startswith(_PKG_PREFIX):
+            try:
+                parts[label] = inspect.getsource(v)
+            except OSError:  # pragma: no cover - frozen envs
+                parts[label] = label
+        elif isinstance(v, _CONST_TYPES):
+            parts[label] = f"{label}={v!r}"
+
+    while stack:
+        f = stack.pop()
+        qual = f"{f.__module__}.{f.__qualname__}"
+        if qual in parts:
+            continue
+        try:
+            parts[qual] = inspect.getsource(f)
+        except OSError:  # pragma: no cover - frozen envs
+            parts[qual] = qual
+        names = _code_names(f.__code__)
+        g = getattr(f, "__globals__", {})
+        for n in sorted(names):
+            if n in _RUNTIME_STATE or n not in g:
+                continue
+            visit(f"{f.__module__}.{n}", g[n], names)
+    return [parts[k] for k in sorted(parts)]
+
+
 def law_sha(key: str, oracle: str | None, fn) -> str:
-    """Fingerprint of the key's law: oracle SQL + defining-module source."""
-    try:
-        mod_src = inspect.getsource(sys.modules[fn.__module__])
-    except (OSError, KeyError, TypeError):  # pragma: no cover - frozen envs
-        mod_src = ""
+    """Fingerprint of the key's law: oracle SQL + the implementation's
+    reference closure (function sources + law constants — see module
+    docstring, 'Fingerprint granularity')."""
     h = hashlib.sha256()
     h.update((oracle or "<rows-only>").encode())
-    h.update(b"\x00")
-    h.update(mod_src.encode())
+    for part in _law_parts(fn):
+        h.update(b"\x00")
+        h.update(part.encode())
     return h.hexdigest()
 
 

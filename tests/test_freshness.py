@@ -41,6 +41,14 @@ def test_every_invalid_evidence_key_inside_driver_prefix():
         "more evidence-less keys than the driver snapshot can hold — "
         "stage law changes across rounds"
     )
+    # ADVICE r04: at exactly CAP the guarantee is one edit from
+    # unsatisfiable — enforce a staging margin so overflow is caught while
+    # there is still room to split a change across rounds.
+    assert len(invalid) <= freshness.DRIVER_CAP - freshness.SOFT_MARGIN, (
+        f"{len(invalid)} invalid-evidence keys — within the cap of "
+        f"{freshness.DRIVER_CAP} but past the soft margin; stage the "
+        "remaining law changes into the next round"
+    )
     prefix = set(order[: freshness.DRIVER_CAP])
     missing = [k for k in invalid if k not in prefix]
     assert not missing, f"keys without valid driver evidence excluded: {missing}"
@@ -79,6 +87,76 @@ def test_rotation_covers_every_key_within_two_rounds():
         if rnd >= 2:
             overdue = [k for k in keys if seen_round.get(k, -10) < rnd - 1]
             assert not overdue, f"round {rnd}: not evaluated within 2 rounds: {overdue}"
+
+
+_GRANULARITY_MOD = '''
+SHARED = "law-fragment"
+A_CONST = {a_const!r}
+_DOCS_CACHE = {{"runtime": "state"}}
+
+def helper_a():
+    return SHARED + A_CONST
+
+def query_a():
+    return helper_a()
+
+def query_b():
+    return SHARED + "b"
+'''
+
+
+def _load_mod(tmp_path, name, a_const):
+    """Write + import a real module file so inspect.getsource works."""
+    import importlib.util
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    p = tmp_path / f"{name}.py"
+    p.write_text(_GRANULARITY_MOD.format(a_const=a_const))
+    spec = importlib.util.spec_from_file_location(name, p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # make the functions look like queries-package members for the walker
+    for fn in (mod.helper_a, mod.query_a, mod.query_b):
+        fn.__module__ = "tesserocr_spark.queries._granularity_test"
+    return mod
+
+
+def test_fingerprint_is_per_function_closure(tmp_path):
+    """VERDICT r04 task #2: editing one function's law constant must bump
+    only the keys whose reference closure reaches it — not every key the
+    module defines (the old per-module scheme burned all headroom)."""
+    m1 = _load_mod(tmp_path / "v1", "granmod", "one")
+    m2 = _load_mod(tmp_path / "v2", "granmod", "two")
+    a1 = freshness.law_sha("a", "SELECT 1", m1.query_a)
+    b1 = freshness.law_sha("b", "SELECT 2", m1.query_b)
+    a2 = freshness.law_sha("a", "SELECT 1", m2.query_a)
+    b2 = freshness.law_sha("b", "SELECT 2", m2.query_b)
+    assert a1 != a2, "A_CONST is in query_a's closure (via helper_a)"
+    assert b1 == b2, "query_b does not reference A_CONST — sha must not move"
+
+
+def test_fingerprint_captures_shared_constants_and_helpers():
+    """The real registry: dedup_exact's closure must include the shared
+    HASH-law constant and its helper chain; runtime caches must not leak in."""
+    from tesserocr_spark.queries import QUERIES
+
+    parts = "\n".join(freshness._law_parts(QUERIES["dedup_minhash_lsh"]))
+    # the md5->int64 hash law reaches the closure by VALUE: it is embedded
+    # in the precomputed expression constants at import time
+    assert "_H31_EXPR=" in parts and "md5" in parts
+    assert "_MINHASH_ARRAY_EXPR=" in parts
+    assert "def _shingle_array" in parts  # helper chain
+    assert "_DOCS_CACHE=" not in parts
+    assert "_PERSISTED=" not in parts
+
+
+def test_fingerprint_insensitive_to_unrelated_module_text():
+    """Two keys in the same module with disjoint closures share no spurious
+    coupling: textops' stopword law must not appear in a dedup key's parts."""
+    from tesserocr_spark.queries import QUERIES
+
+    parts = "\n".join(freshness._law_parts(QUERIES["dedup_exact"]))
+    assert "STOPWORDS=" not in parts
 
 
 def test_law_change_mid_simulation_forces_reverification():
