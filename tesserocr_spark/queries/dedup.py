@@ -870,16 +870,31 @@ _BOILER_SENT = "subscribe to our newsletter for updates"
 def _sentence_flags(docs: DataFrame, drop_freq: int = _SENT_FREQ_DROP) -> DataFrame:
     """(doc_id, pos, sent, dropped) — every sentence of every document with
     its global-frequency drop verdict. Shared by the oracle query and the
-    production text-cleaning operator so the law lives once."""
+    production text-cleaning operator so the law lives once.
+
+    Skew hardening (r05, VERDICT r04 task #5): the frequency aggregate and
+    the sents<->freq equi-join key on ``md5(sent)``, not the raw sentence —
+    the sentences being dropped are by definition the corpus's hottest join
+    keys (global boilerplate), and a 16-byte fixed-width key keeps the
+    shuffle rows small no matter how long the boilerplate sentence is. The
+    skew itself (one bucket holding every copy of a boilerplate sentence)
+    is handled by AQE skewJoin, enabled in the job CLI; the frequency
+    aggregate is immune via map-side partial combine. Grouping by md5
+    instead of the text is law-identical modulo md5 collisions (none at any
+    realistic corpus size, and tests/test_pipeline_ops.py plants a directed
+    30%-hot-key corpus to lock behavior)."""
     sents = docs.select(
         "doc_id", F.posexplode(F.split("text", "[.] ")).alias("pos0", "sent")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sent")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "sent",
+        F.md5("sent").alias("sk"),
+    )
     freq = (
         sents.filter(F.col("sent") != "")
-        .groupBy("sent")
+        .groupBy("sk")
         .agg(F.count("*").alias("n"))
     )
-    return sents.join(freq, "sent", "left").select(
+    return sents.join(freq, "sk", "left").select(
         "doc_id", "pos", "sent",
         ((F.col("sent") != "") & (F.col("n") >= drop_freq)).alias("dropped"),
     )

@@ -348,6 +348,44 @@ class TestDedup:
         for r in orig.collect():
             assert cleaned[r.doc_id] == r.text, r.doc_id
 
+    def test_sentence_dedup_survives_planted_hot_key(self, spark):
+        """VERDICT r04 task #5 (skew): plant ONE long sentence in 30% of
+        documents — by construction the hottest join key in the corpus —
+        and assert (a) the sents<->freq equi-join keys on the fixed-width
+        md5 of the sentence, never the raw text, and (b) the hot sentence
+        is stripped from every host while all other docs round-trip."""
+        from tesserocr_spark.queries.dedup import sentence_dedup_frame
+
+        hot = "this very long boilerplate sentence appears on nearly " \
+              "every page of the crawl and is the hottest shuffle key " \
+              "in the whole corpus by a factor of thousands"
+        orig = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", F.trim("text").alias("text"))
+        )
+        planted = orig.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 3,  # 30% of the corpus
+                F.concat(F.lit(hot + ". "), "text"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out = sentence_dedup_frame(planted)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "LeftOuter" in ln
+        ]
+        assert join_lines, plan
+        assert any("sk" in ln for ln in join_lines), join_lines
+        assert not any("sent#" in ln.split("LeftOuter")[0] for ln in join_lines), (
+            "freq join must key on md5(sent), not the raw sentence",
+            join_lines,
+        )
+        cleaned = {r.doc_id: r.text for r in out.collect()}
+        for r in orig.collect():
+            assert cleaned[r.doc_id] == r.text, r.doc_id
+
     def test_ngram_jaccard_finds_planted(self, spark):
         from tesserocr_spark.queries.dedup import ngram_jaccard_pairs
 
