@@ -2,19 +2,29 @@
 
 Two decode tiers:
 
-* **Real container parsing** (``parse_bmp`` / ``parse_wav`` + the
-  ``decode_map`` kernel): pure-Python ``struct`` parsing of the BMP
-  BITMAPINFOHEADER and the RIFF/WAVE chunk list — fixed public layouts that
-  need no codec dependency (mirrors the reference's BMP-roundtrip ingest,
+* **Real container parsing** (``parse_bmp`` / ``parse_png`` / ``parse_wav``
+  + the ``decode_map`` kernel): pure-Python ``struct`` parsing of the BMP
+  BITMAPINFOHEADER, the PNG chunk list (IHDR CRC-checked with stdlib
+  ``zlib.crc32``), and the RIFF/WAVE chunk list — fixed public layouts that
+  need no codec dependency (mirrors the reference's image-bytes ingest,
   ``tesserocr/tesserocr.pyx:362-369`` ``_image_buffer`` /
-  ``SetImageBytesBmp`` ``:1752-1772``). Malformed or unknown payloads fall
-  back to the deterministic stub rather than raising, so a 100 TB scan
-  never dies on one bad blob.
+  ``SetImageBytes`` ``:1720-1750`` / ``SetImageBytesBmp`` ``:1752-1772``).
+  PNG is real END-TO-END: ``decode_png_pixels`` inflates the IDAT stream
+  with stdlib ``zlib`` and inverts all five PNG scanline filters (None /
+  Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. Malformed
+  or unknown payloads fall back to the deterministic stub rather than
+  raising, so a 100 TB scan never dies on one bad blob.
 * **Deterministic stub** (``_decode_one`` + ``decode_stub_map``): fake
   metadata as a pure function of the bytes, kept for payloads with no
   parseable container (and frozen by the ``multimodal_stub`` oracle law).
-  Pixel decode / resample of compressed formats (PNG/JPEG/MP4) still needs
-  PIL/ffmpeg and stays stubbed in ``resize_stub_map``.
+  Pixel decode / resample of JPEG/MP4 still needs PIL/ffmpeg and stays
+  stubbed in ``resize_stub_map``.
+
+NULL-payload law (ADVICE r04): a missing payload is NOT the same thing as
+a zero-byte blob — ``decode_map`` emits ``format = NULL`` (all numeric
+fields 0) for SQL NULL payloads so downstream audits can tell them apart;
+the empty-blob stub law (``format='raw'``) applies only to payloads that
+are present and empty.
 
 Everything Spark-side — binary column handling, Arrow batch shape,
 ``mapInPandas`` signatures, partition independence — is real and tested.
@@ -23,6 +33,7 @@ Everything Spark-side — binary column handling, Arrow batch shape,
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -68,6 +79,139 @@ def parse_bmp(payload: bytes) -> dict | None:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by PNG color type (0 gray, 2 RGB, 3 palette-indexed,
+#: 4 gray+alpha, 6 RGBA) — RFC 2083 §4.1.1.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data_offset, length) for each well-formed chunk; stops
+    (StopIteration, not an exception) at the first structural violation."""
+    off = len(_PNG_SIG)
+    while off + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, off)[0]
+        ctype = payload[off + 4 : off + 8]
+        if off + 12 + length > len(payload):
+            return
+        yield ctype, off + 8, length
+        if ctype == b"IEND":
+            return
+        off += 12 + length
+
+
+def parse_png(payload: bytes) -> dict | None:
+    """REAL PNG parser: 8-byte signature, big-endian chunk walk, IHDR
+    first-chunk rule with its CRC verified (stdlib ``zlib.crc32`` — catches
+    bit rot that a pure offset read would silently accept). Requires a
+    structurally complete stream (IDAT present, terminated by IEND).
+    ``bpp`` is bits per PIXEL (bit depth × channels) for consistency with
+    the BMP field."""
+    if len(payload) < len(_PNG_SIG) + 25 or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    chunks = _png_chunks(payload)
+    try:
+        ctype, doff, length = next(chunks)
+    except StopIteration:
+        return None
+    if ctype != b"IHDR" or length != 13:
+        return None
+    crc = struct.unpack_from(">I", payload, doff + length)[0]
+    if crc != zlib.crc32(payload[doff - 4 : doff + length]):
+        return None
+    width, height, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, doff
+    )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        return None
+    if color not in _PNG_CHANNELS or depth not in (1, 2, 4, 8, 16):
+        return None
+    if color == 3 and depth == 16:  # palette indices are at most 8-bit
+        return None
+    if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+        return None
+    seen = {b"IHDR"}
+    for ctype, _, _ in chunks:
+        seen.add(ctype)
+    if b"IDAT" not in seen or b"IEND" not in seen:
+        return None
+    ch = _PNG_CHANNELS[color]
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bpp": depth * ch,
+        "n_channels": ch,
+        "sample_rate": 0,
+        "n_frames": 1,
+        "n_bytes": len(payload),
+    }
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to the
+    initial estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(payload: bytes) -> bytes | None:
+    """Full PNG pixel decode for the sandbox-reachable subset: 8-bit depth,
+    non-interlaced (any color type; palette images yield index bytes).
+    Concatenates the IDAT chunks, inflates with stdlib ``zlib``, and
+    inverts the per-scanline filter. Returns height × width × channels raw
+    bytes, or None when the stream is outside the subset or inconsistent —
+    never raises on corpus data."""
+    meta = parse_png(payload)
+    if meta is None or meta["bpp"] != meta["n_channels"] * 8:
+        return None
+    ihdr_off = len(_PNG_SIG) + 8
+    if payload[ihdr_off + 12] != 0:  # interlaced — not carried
+        return None
+    idat = b"".join(
+        payload[off : off + length]
+        for ctype, off, length in _png_chunks(payload)
+        if ctype == b"IDAT"
+    )
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    w, h, ch = meta["width"], meta["height"], meta["n_channels"]
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ftype, line = row[0], bytearray(row[1:])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            return None
+        prior = bytes(line)
+        out += prior
+    return bytes(out)
+
+
 def parse_wav(payload: bytes) -> dict | None:
     """REAL RIFF/WAVE parser: walks the word-aligned chunk list for the
     ``fmt `` and ``data`` chunks (tolerates extra chunks like LIST before
@@ -107,10 +251,12 @@ def parse_wav(payload: bytes) -> dict | None:
 
 
 def decode_media(payload: bytes) -> dict:
-    """Real decode with stub fallback: BMP → WAV → deterministic stub
+    """Real decode with stub fallback: BMP → PNG → WAV → deterministic stub
     (format='raw', stub law for width/frames, so unknown blobs still yield
-    stable, partition-independent metadata instead of failing the scan)."""
-    meta = parse_bmp(payload) or parse_wav(payload)
+    stable, partition-independent metadata instead of failing the scan).
+    The three parsers are mutually exclusive on magic bytes, so order is
+    cosmetic."""
+    meta = parse_bmp(payload) or parse_png(payload) or parse_wav(payload)
     if meta is not None:
         return meta
     stub = _decode_one(payload)
@@ -132,15 +278,25 @@ DECODE_SCHEMA = (
 )
 
 
+#: decode result for a SQL NULL payload: format NULL, all fields zero —
+#: distinguishable from a present-but-empty blob, which takes the stub law
+#: (ADVICE r04; module docstring 'NULL-payload law').
+_NULL_META = {
+    "format": None, "width": 0, "height": 0, "bpp": 0,
+    "n_channels": 0, "sample_rate": 0, "n_frames": 0, "n_bytes": 0,
+}
+
+
 def decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> DECODE_SCHEMA rows
-    via the real BMP/WAV parsers with stub fallback."""
+    via the real BMP/PNG/WAV parsers with stub fallback. NULL payloads
+    (normal in a binary column at corpus scale) emit ``format = NULL``
+    rather than the empty-blob stub — a scan never dies on one, and audits
+    can count them."""
     cols = [c.split()[0] for c in DECODE_SCHEMA.split(", ")]
     for pdf in batches:
-        # NULL payloads (normal in a binary column at corpus scale) decode
-        # as empty blobs via the stub fallback — a scan never dies on one
         metas = [
-            decode_media(bytes(p) if p is not None else b"")
+            decode_media(bytes(p)) if p is not None else _NULL_META
             for p in pdf["payload"]
         ]
         out = pd.DataFrame(metas, columns=cols[1:])
@@ -160,6 +316,69 @@ def make_bmp(width: int, height: int, bpp: int = 24, fill: int = 0) -> bytes:
     return header + dib + data
 
 
+def _png_filter_row(ftype: int, line: bytes, prior: bytes, ch: int) -> bytes:
+    """Apply (forward) PNG filter ``ftype`` to a raw scanline — the exact
+    inverse of the reconstruction in ``decode_png_pixels``."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        left = line[i - ch] if i >= ch else 0
+        up = prior[i]
+        ul = prior[i - ch] if i >= ch else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = _paeth(left, up, ul)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def make_png(
+    width: int, height: int, color_type: int = 2, pixels: bytes | None = None
+) -> bytes:
+    """Build a real, spec-valid non-interlaced 8-bit PNG (test/synth helper
+    — documents the exact layout ``parse_png`` / ``decode_png_pixels``
+    read). Each scanline y is filtered with type ``y % 5`` so every filter
+    in the spec is exercised by any image of height >= 5. Default pixel
+    content is the deterministic gradient ``(3x + 7y + 11c) % 256``."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if pixels is None:
+        pixels = bytes(
+            (3 * x + 7 * y + 11 * c) % 256
+            for y in range(height) for x in range(width) for c in range(ch)
+        )
+    assert len(pixels) == height * stride
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, line, prior, ch)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        pal = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
+        body += _png_chunk(b"PLTE", pal)
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    body += _png_chunk(b"IEND", b"")
+    return _PNG_SIG + body
+
+
 def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     """Build a valid PCM RIFF/WAVE container (test/synth helper)."""
     data = bytes(n_frames * channels * (bits // 8))
@@ -176,9 +395,10 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
 
 def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: doc_id -> deterministic real container bytes
-    (WAV for doc_id % 3 == 0, else 24-bpp BMP) — the payload source for the
-    ``multimodal_decode`` oracle query, whose DuckDB twin predicts the
-    header fields arithmetically from doc_id."""
+    (WAV for doc_id % 3 == 0, filtered+deflated RGB PNG for % 3 == 1, else
+    24-bpp BMP) — the payload source for the ``multimodal_decode`` oracle
+    query, whose DuckDB twin predicts the header fields arithmetically from
+    doc_id."""
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
@@ -188,6 +408,8 @@ def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     make_wav(1 + i % 2, 8000 + (i % 5) * 1000, 8 + (i % 2) * 8,
                              100 + i % 50)
                 )
+            elif i % 3 == 1:
+                payloads.append(make_png(1 + i % 48, 1 + i % 24, 2))
             else:
                 payloads.append(make_bmp(1 + i % 64, 1 + i % 32, 24, i % 256))
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})

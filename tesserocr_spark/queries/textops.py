@@ -607,22 +607,26 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'bmp' END AS format,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 + doc_id % 64 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 + doc_id % 32 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id % 2) * 8 ELSE 24 END AS INT) AS bpp,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 100 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
+       CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'png' ELSE 'bmp' END AS format,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 48
+            ELSE 1 + doc_id % 64 END AS INT) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 24
+            ELSE 1 + doc_id % 32 END AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 2) * 8 ELSE 24 END AS INT) AS bpp,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
 FROM documents""",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (no codec deps): deterministic container
-    bytes are synthesized per doc_id (WAV for doc_id % 3 == 0, else a
-    24-bpp BMP), shipped through Arrow as a binary column, and parsed back
-    by the pure-Python BMP/WAV header parsers in ``decode_map``. The DuckDB
-    oracle predicts every header field arithmetically from doc_id, so any
-    parser defect (endianness, offsets, row padding, chunk walking)
-    hash-mismatches. Two chained ``mapInPandas`` stages, both narrow —
-    at 100 TB the decode runs wherever the payload partition lives."""
+    bytes are synthesized per doc_id (WAV for doc_id % 3 == 0, a
+    filtered+deflated RGB PNG for % 3 == 1, else a 24-bpp BMP), shipped
+    through Arrow as a binary column, and parsed back by the pure-Python
+    BMP/PNG/WAV parsers in ``decode_map`` (the PNG side CRC-checks IHDR).
+    The DuckDB oracle predicts every header field arithmetically from
+    doc_id, so any parser defect (endianness, offsets, row padding, chunk
+    walking, CRC handling) hash-mismatches. Two chained ``mapInPandas``
+    stages, both narrow — at 100 TB the decode runs wherever the payload
+    partition lives."""
     from ..multimodal import DECODE_SCHEMA, decode_map, synth_payload_map
 
     d = _docs(spark, sf_dir).select("doc_id")

@@ -575,6 +575,49 @@ class TestRealContainerParsers:
         assert m["format"] == "raw"
         assert m["width"] == len(blob) % 640 and m["n_frames"] == len(blob) % 7
 
+    def test_parse_png_hand_built_and_crc_gate(self):
+        from tesserocr_spark.multimodal import make_png, parse_png
+
+        m = parse_png(make_png(17, 9, 2))
+        assert m == {
+            "format": "png", "width": 17, "height": 9, "bpp": 24,
+            "n_channels": 3, "sample_rate": 0, "n_frames": 1,
+            "n_bytes": m["n_bytes"],
+        }
+        good = make_png(8, 8, 0)
+        assert parse_png(good)["n_channels"] == 1
+        corrupt = bytearray(good)
+        corrupt[16] ^= 0xFF  # IHDR width byte — CRC must catch it
+        assert parse_png(bytes(corrupt)) is None
+        assert parse_png(good[:-20]) is None  # IEND gone -> incomplete
+        assert parse_png(b"\x89PNX" + good[4:]) is None  # bad signature
+
+    def test_decode_png_pixels_inverts_all_five_filters(self):
+        """make_png filters row y with type y % 5, so a height-10 image
+        exercises None/Sub/Up/Average/Paeth twice each; the decode must
+        reproduce the exact gradient bytes."""
+        from tesserocr_spark.multimodal import decode_png_pixels, make_png
+
+        w, h, ch = 13, 10, 3
+        px = decode_png_pixels(make_png(w, h, 2))
+        expect = bytes(
+            (3 * x + 7 * y + 11 * c) % 256
+            for y in range(h) for x in range(w) for c in range(ch)
+        )
+        assert px == expect
+
+    def test_null_payload_distinguishable_from_empty_blob(self, spark):
+        """ADVICE r04: a missing payload must not masquerade as a zero-byte
+        blob — NULL in, format NULL out; b'' in, stub law out."""
+        from tesserocr_spark.multimodal import DECODE_SCHEMA, decode_map
+
+        df = spark.createDataFrame(
+            [(1, None), (2, b"")], "doc_id bigint, payload binary"
+        )
+        rows = {r.doc_id: r for r in df.mapInPandas(decode_map, DECODE_SCHEMA).collect()}
+        assert rows[1].format is None and rows[1].n_bytes == 0
+        assert rows[2].format == "raw" and rows[2].n_bytes == 0
+
     def test_multimodal_decode_query_end_to_end(self, spark):
         from tesserocr_spark.queries.textops import multimodal_decode
 
@@ -584,6 +627,9 @@ class TestRealContainerParsers:
             if doc_id % 3 == 0:
                 assert r.format == "wav" and r.n_frames == 100 + doc_id % 50
                 assert r.bpp == 8 + (doc_id % 2) * 8
+            elif doc_id % 3 == 1:
+                assert r.format == "png" and r.bpp == 24
+                assert r.width == 1 + doc_id % 48 and r.height == 1 + doc_id % 24
             else:
                 assert r.format == "bmp" and r.bpp == 24
                 assert r.width == 1 + doc_id % 64 and r.height == 1 + doc_id % 32

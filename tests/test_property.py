@@ -178,6 +178,58 @@ class TestContainerParserProperties:
         assert (m["n_channels"], m["sample_rate"], m["bpp"]) == (ch, rate, bits)
         assert m["n_frames"] == frames
 
+    @given(
+        w=st.integers(min_value=1, max_value=64),
+        h=st.integers(min_value=1, max_value=32),
+        ct=st.sampled_from([0, 2, 3, 4, 6]),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_and_pixel_decode(self, w, h, ct, data):
+        """Build → parse → full pixel decode: random pixel content survives
+        deflate + the five scanline filters bit-exactly (heights >= 5
+        exercise every filter type via make_png's y % 5 rule)."""
+        from tesserocr_spark.multimodal import (
+            _PNG_CHANNELS,
+            decode_png_pixels,
+            make_png,
+            parse_png,
+        )
+
+        ch = _PNG_CHANNELS[ct]
+        pixels = bytes(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(min(w * h * ch, 64))
+        )
+        pixels = (pixels * (w * h * ch // max(1, len(pixels)) + 1))[: w * h * ch]
+        png = make_png(w, h, ct, pixels)
+        m = parse_png(png)
+        assert m is not None
+        assert (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
+        assert m["bpp"] == 8 * ch and m["format"] == "png"
+        assert decode_png_pixels(png) == pixels
+
+    @given(
+        png_params=st.tuples(
+            st.integers(min_value=1, max_value=48),
+            st.integers(min_value=5, max_value=24),
+        ),
+        flip=st.integers(min_value=0, max_value=10**6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_single_bitflip_in_ihdr_region_never_misparses(self, png_params, flip):
+        """Corrupt one bit anywhere in the signature/IHDR region: the
+        parser must either reject (CRC/signature) or — when the flip lands
+        in the CRC'd-but-recomputable region — never crash. decode_media
+        always falls back cleanly."""
+        from tesserocr_spark.multimodal import decode_media, make_png
+
+        png = bytearray(make_png(*png_params, 2))
+        idx = flip % 33  # signature (8) + IHDR chunk (25)
+        png[idx] ^= 1 << (flip % 8)
+        m = decode_media(bytes(png))  # must not raise
+        assert m["n_bytes"] == len(png)
+
     @given(blob=st.binary(max_size=200))
     @settings(max_examples=80, deadline=None)
     def test_arbitrary_bytes_never_crash_decode(self, blob):
@@ -187,5 +239,5 @@ class TestContainerParserProperties:
         from tesserocr_spark.multimodal import decode_media
 
         m = decode_media(blob)
-        assert m["format"] in ("bmp", "wav", "raw")
+        assert m["format"] in ("bmp", "png", "wav", "raw")
         assert m["n_bytes"] == len(blob)
