@@ -37,7 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-campaign", choices=("jaccard", "minhash_lsh"),
                     help="instead of extraction: run the near-dup campaign "
                          "over --input (a (doc_id, text) documents parquet) "
-                         "and write surviving doc_ids to <output>.keep")
+                         "and write surviving doc_ids to <output>.keep. "
+                         "minhash_lsh uses b=4 x r=2 banding: candidate "
+                         "recall is 1-(1-j^2)^4 — >=0.9997 at jaccard "
+                         ">=0.85 (the near-dup regime it is tuned for) but "
+                         "only ~0.68 at the verify floor j=0.5, so "
+                         "moderate near-dups (j 0.5-0.8) are retained "
+                         "30-70%% of the time; use jaccard (bottom-2 "
+                         "blocked, exact verify) when that tail matters")
     ap.add_argument("--sentence-dedup", action="store_true",
                     help="instead of extraction: C4-style cross-corpus "
                          "sentence dedup over --input; writes cleaned "

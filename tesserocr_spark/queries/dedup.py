@@ -355,7 +355,17 @@ def minhash_lsh_pairs_frame(cand: DataFrame) -> DataFrame:
 
 # -- simhash -------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+#: LEGACY 16-bit signature width — kept ONLY for the oracle-frozen
+#: ``simhash_signatures`` / ``dedup_simhash`` parity queries. Do NOT use in
+#: new compositions: 16-bit slice values have 32-64 possible values, so
+#: candidate buckets grow O(N²/64) at corpus scale. ``_simhash`` defaults
+#: to the wide ``_SIMHASH64_BITS`` signature (r05, VERDICT r04 task #6).
+_SIMHASH_BITS_LEGACY16 = 16
+
+#: effective signature width of the frozen md5-hex→int64 law: 15 hex chars
+#: = 60 bits (a full 64 would overflow signed int64 in the DuckDB twin).
+#: Defined here (above ``_simhash``) because it is the module-wide DEFAULT.
+_SIMHASH64_BITS = 60
 
 
 def _sql_simhash(bits: int, sfx: str = "") -> str:
@@ -384,7 +394,7 @@ sims{sfx} AS (
 """
 
 
-_SQL_SIMHASH = _sql_simhash(_SIMHASH_BITS)
+_SQL_SIMHASH = _sql_simhash(_SIMHASH_BITS_LEGACY16)
 
 def _simhash_expr(bits: int) -> str:
     """simhash over per-doc distinct word hashes ``hs`` — for each bit, the
@@ -398,10 +408,10 @@ def _simhash_expr(bits: int) -> str:
     )
 
 
-_SIMHASH_EXPR = _simhash_expr(_SIMHASH_BITS)
+_SIMHASH_EXPR = _simhash_expr(_SIMHASH_BITS_LEGACY16)
 
 
-def _simhash(cand: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
+def _simhash(cand: DataFrame, bits: int = _SIMHASH64_BITS) -> DataFrame:
     wh = cand.select(
         "doc_id",
         F.expr(
@@ -418,8 +428,10 @@ def _simhash(cand: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
     oracle=f"WITH {_SQL_CANDIDATES_NEAR}, {_SQL_SIMHASH.rstrip()} SELECT doc_id, simhash FROM sims",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document (word-level features)."""
-    return _simhash(_candidates_near(spark, sf_dir))
+    """16-bit SimHash signature per document (word-level features).
+    LEGACY width, oracle-frozen — passes the 16-bit override explicitly;
+    the module default is the wide signature."""
+    return _simhash(_candidates_near(spark, sf_dir), bits=_SIMHASH_BITS_LEGACY16)
 
 
 #: pigeonhole bit-slices for Hamming <= 2 on 16-bit signatures: 3 slices
@@ -486,14 +498,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB corpus you widen the signature to 64 bits so slice values have
     ~2^21 cardinality; 16 bits is frozen here by the oracle law — see
     ``dedup_simhash64`` for the wide variant.)"""
-    return _simhash_pairs(_simhash(_candidates_near(spark, sf_dir)), _SIMHASH_SLICES)
+    return _simhash_pairs(
+        _simhash(_candidates_near(spark, sf_dir), bits=_SIMHASH_BITS_LEGACY16),
+        _SIMHASH_SLICES,
+    )
 
 
 # -- simhash64: the wide-signature variant that scales -------------------------
-
-#: effective signature width of the frozen md5-hex→int64 law: 15 hex chars
-#: = 60 bits (a full 64 would overflow signed int64 in the DuckDB twin).
-_SIMHASH64_BITS = 60
 
 _SQL_SIMHASH64 = _sql_simhash(_SIMHASH64_BITS, "64")
 
