@@ -71,6 +71,21 @@ EDGE_QUERIES = (
     "decontaminate_ngram_overlap",
     "multimodal_stub",
     "multimodal_decode",
+    # r05 expansion (VERDICT r04 task #7): the word/span-level families —
+    # these run the same CJK/emoji/whitespace-edge content through
+    # pages.make_page and the extraction UDF into the spans oracles, so
+    # the geometry/confidence/boundary laws are exercised on non-ASCII
+    # words, phantom-empty documents, and single-word pages too
+    "all_word_confidences",
+    "blanks_before_word",
+    "map_word_confidences",
+    "tsv_word_rows",
+    "word_attributes",
+    "word_boundaries",
+    "word_geometry",
+    "word_normed_text",
+    "tesseract_rect",
+    "rollup_lang_source",
 )
 
 
