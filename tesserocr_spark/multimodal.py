@@ -415,6 +415,28 @@ def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
 
+PIXEL_STATS_SCHEMA = "doc_id bigint, n_px bigint, pix_sum bigint"
+
+
+def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> full-pixel-decode
+    stats (count + byte sum) via ``decode_png_pixels``. Exercises the whole
+    inflate + unfilter path on every payload; non-PNG / out-of-subset
+    payloads report (0, 0) instead of failing the scan."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = decode_png_pixels(bytes(payload)) if payload is not None else None
+            if px is None:
+                rows.append((doc_id, 0, 0))
+            else:
+                arr = np.frombuffer(px, dtype=np.uint8)
+                rows.append((doc_id, len(px), int(arr.sum(dtype=np.int64))))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_px", "pix_sum"])
+
+
 def decode_stub_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> decoded metadata."""
     for pdf in batches:

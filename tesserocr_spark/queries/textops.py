@@ -634,3 +634,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(decode_map, DECODE_SCHEMA).select(
         "doc_id", "format", "width", "height", "bpp", "n_frames"
     )
+
+
+@query(
+    "multimodal_pixels",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 48 AS w, 1 + doc_id % 24 AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+xs AS (SELECT unnest(range(48)) AS x),
+ys AS (SELECT unnest(range(24)) AS y),
+cs AS (SELECT unnest(range(3)) AS c)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((3 * xs.x + 7 * ys.y + 11 * cs.c) % 256) AS BIGINT) AS pix_sum
+FROM dims d
+JOIN xs ON xs.x < d.w
+JOIN ys ON ys.y < d.h
+CROSS JOIN cs
+GROUP BY d.doc_id""",
+)
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PNG pixel decode end-to-end in the driver harness: the synth
+    kernel builds a real RGB PNG per doc_id % 3 == 1 document (gradient
+    pixels ``(3x + 7y + 11c) % 256``, scanlines filtered with all five PNG
+    filter types, zlib-deflated), ships it through Arrow as binary, and
+    ``pixel_stats_map`` inflates + unfilters back to raw bytes and
+    aggregates (count, sum). The DuckDB oracle reproduces both statistics
+    from the gradient's closed form — any defect anywhere in the deflate/
+    filter/decode chain (or in Arrow binary transport) changes the sum and
+    hash-mismatches. Two chained narrow ``mapInPandas`` stages; at corpus
+    scale the decode runs wherever the payload partition lives, no
+    shuffle."""
+    from ..multimodal import PIXEL_STATS_SCHEMA, pixel_stats_map, synth_payload_map
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 1)
+    payloads = d.mapInPandas(synth_payload_map, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(pixel_stats_map, PIXEL_STATS_SCHEMA)

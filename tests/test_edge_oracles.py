@@ -86,6 +86,7 @@ EDGE_QUERIES = (
     "word_normed_text",
     "tesseract_rect",
     "rollup_lang_source",
+    "multimodal_pixels",
 )
 
 
