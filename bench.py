@@ -26,6 +26,7 @@ BENCH_QUERIES = (
     "dedup_simhash64",         # since r04
     "dedup_campaign_keep_lsh", # since r04
     "multimodal_decode",       # since r04
+    "multimodal_pixels",       # since r05 (full PNG pixel decode)
     "ann_bruteforce_topk",
     "q1_flagship_agg",
     "revenue_by_nation",
@@ -132,10 +133,11 @@ def main() -> None:
         ),
     )
     # r04 added dedup_simhash64 / dedup_campaign_keep_lsh / multimodal_decode
-    # to the timed set — bench_total is NOT comparable to r03 and earlier
-    # without subtracting them (note in BENCH/BASELINE.md).
+    # and r05 added multimodal_pixels to the timed set — bench_total is NOT
+    # comparable across those rounds without subtracting them (note in
+    # BENCH/BASELINE.md); per-query timings stay comparable.
     for q in ("dedup_minhash_lsh", "dedup_simhash64", "dedup_campaign_keep_lsh",
-              "multimodal_decode", "ann_bruteforce_topk",
+              "multimodal_decode", "multimodal_pixels", "ann_bruteforce_topk",
               "q1_flagship_agg", "revenue_by_nation"):
         timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
 
