@@ -100,6 +100,18 @@ def test_multimodal_decode_chains_kernels_without_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
+def test_multimodal_pixels_chains_kernels_without_shuffle(spark):
+    """Full PNG pixel decode: synth -> pixel_stats must also be two chained
+    MapInPandas in one stage over a doc_id-only scan — payload bytes stay
+    on the partition that synthesized them, nothing crosses the wire."""
+    from tesserocr_spark.queries.textops import multimodal_pixels
+
+    plan = _plan(multimodal_pixels(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
 def test_minhash_lsh_banded_equi_join_not_allpairs(spark):
     """The b×r band keys must reach the candidate self-join as equi keys
     (hash/sort-merge), never a nested-loop/cartesian all-pairs plan."""
