@@ -40,17 +40,26 @@ Editing one query function no longer invalidates every key its module
 defines — r04 ended at exactly 50/50 invalid keys vs the 50-key cap under
 the old per-module scheme, with zero headroom for the r05 rotation.
 
-Scope note: changes to deeper shared code (``core/``, ``pages.py``) are
-deliberately NOT folded in — doing so would invalidate all registered keys
-at once (> cap) on any core edit, making core maintenance impossible under
-the overflow test. Core is guarded by the byte-law test suite and by
-``scripts/check_oracles.py``, which runs ALL registered keys against DuckDB
-every round regardless of this ordering.
+Engine-code coverage (r05b, ADVICE r05 low #1): shared engine code outside
+the queries package (``core/``, ``pages.py``, ``udf.py``, ``api.py``,
+``multimodal.py``) IS folded in — but only for the keys whose reference
+closure actually reaches it, and at *module-closure* granularity: when a
+query function references (via globals) or imports (via an in-function
+``from ..api import …`` statement, which is invisible to a globals walk) a
+``tesserocr_spark`` module outside the queries package, the fingerprint
+folds in a sha of that module's source plus the sources of every
+tesserocr_spark module it transitively imports. A ``core/extractor.py``
+edit therefore invalidates exactly the extraction-family keys (which go
+through ``registry.docs_for`` → ``api``/``udf`` → ``core``) and nothing
+else — bounded well under the cap, unlike the rejected design that salted
+every key on any core edit. ``scripts/check_oracles.py`` still runs ALL
+registered keys against DuckDB every round regardless of this ordering.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
 import json
 import re
@@ -84,6 +93,73 @@ def repo_root() -> Path:
     return Path(__file__).resolve().parents[2]
 
 
+#: intra-package import statements (the lazy in-function form included) —
+#: ``from ..api import x``, ``from .registry import y``,
+#: ``from tesserocr_spark.core.osd import z``. Matched against *source
+#: text* because function-level imports never appear in ``__globals__``.
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.+[\w.]*|tesserocr_spark[\w.]*)\s+import\b", re.M
+)
+
+#: memo: module name -> sha of its transitive tesserocr_spark source closure.
+_MOD_SHA_MEMO: dict[str, str] = {}
+
+
+def _resolve_import(stmt_mod: str, in_module: str) -> str | None:
+    """Resolve the module path of a ``from X import …`` statement found in
+    ``in_module``'s source to an absolute ``tesserocr_spark.…`` name."""
+    if not stmt_mod.startswith("."):
+        return stmt_mod
+    dots = len(stmt_mod) - len(stmt_mod.lstrip("."))
+    tail = stmt_mod.lstrip(".")
+    try:
+        mod = importlib.import_module(in_module)
+    except ImportError:  # synthetic test modules with spoofed __module__
+        return None
+    parts = in_module.split(".")
+    base = parts if hasattr(mod, "__path__") else parts[:-1]
+    base = base[: len(base) - (dots - 1)] if dots > 1 else base
+    if not base:
+        return None
+    return ".".join(base + tail.split(".")) if tail else ".".join(base)
+
+
+def _module_closure(name: str) -> dict[str, str]:
+    """name -> source for ``name`` and every tesserocr_spark module its
+    source (transitively) imports, EXCLUDING the queries package (those are
+    fingerprinted at function granularity by the main walk)."""
+    srcs: dict[str, str] = {}
+    stack = [name]
+    while stack:
+        n = stack.pop()
+        if n in srcs or not n.startswith("tesserocr_spark") or \
+                n.startswith(_PKG_PREFIX):
+            continue
+        try:
+            mod = importlib.import_module(n)
+            srcs[n] = inspect.getsource(mod)
+        except (ImportError, OSError):  # pragma: no cover - frozen envs
+            srcs[n] = n
+            continue
+        for m in _IMPORT_RE.findall(srcs[n]):
+            dep = _resolve_import(m, n)
+            if dep and dep not in srcs:
+                stack.append(dep)
+    return srcs
+
+
+def _module_closure_sha(name: str) -> str:
+    sha = _MOD_SHA_MEMO.get(name)
+    if sha is None:
+        h = hashlib.sha256()
+        for k, src in sorted(_module_closure(name).items()):
+            h.update(k.encode())
+            h.update(b"\x00")
+            h.update(src.encode())
+        sha = _MOD_SHA_MEMO[name] = h.hexdigest()
+    return sha
+
+
 def _code_names(code) -> set[str]:
     """All global/attribute names used by a code object, including nested
     lambdas / comprehensions / inner defs (they hide in co_consts)."""
@@ -110,11 +186,22 @@ def _law_parts(fn) -> list[str]:
             for a in sorted(names):
                 if a not in _RUNTIME_STATE and hasattr(v, a):
                     visit(f"{v.__name__}.{a}", getattr(v, a), names)
+        elif isinstance(v, types.ModuleType) and \
+                v.__name__.startswith("tesserocr_spark"):
+            m = v.__name__
+            parts[f"EXTMOD:{m}"] = f"EXTMOD:{m}={_module_closure_sha(m)}"
         elif isinstance(v, type) and getattr(v, "__module__", "").startswith(_PKG_PREFIX):
             try:
                 parts[label] = inspect.getsource(v)
             except OSError:  # pragma: no cover - frozen envs
                 parts[label] = label
+        elif isinstance(v, (types.FunctionType, type)) and \
+                getattr(v, "__module__", "").startswith("tesserocr_spark"):
+            # engine code outside the queries package: fold its module's
+            # transitive source-closure sha (ADVICE r05 — a core regression
+            # must invalidate the evidence of the keys that execute it)
+            m = v.__module__
+            parts[f"EXTMOD:{m}"] = f"EXTMOD:{m}={_module_closure_sha(m)}"
         elif isinstance(v, _CONST_TYPES):
             parts[label] = f"{label}={v!r}"
 
@@ -127,6 +214,21 @@ def _law_parts(fn) -> list[str]:
             parts[qual] = inspect.getsource(f)
         except OSError:  # pragma: no cover - frozen envs
             parts[qual] = qual
+        else:
+            # lazy in-function imports never reach __globals__ — resolve
+            # them from the source text so `from ..api import …` folds the
+            # engine module's closure sha in too
+            for m in _IMPORT_RE.findall(parts[qual]):
+                dep = _resolve_import(m, f.__module__)
+                # skip queries-pkg targets (function-granular already) and
+                # the bare root package (its __init__ re-exports would pull
+                # the whole engine into every key's closure)
+                if dep and dep.startswith("tesserocr_spark") and \
+                        not dep.startswith(_PKG_PREFIX) and \
+                        dep != "tesserocr_spark":
+                    parts[f"EXTMOD:{dep}"] = (
+                        f"EXTMOD:{dep}={_module_closure_sha(dep)}"
+                    )
         names = _code_names(f.__code__)
         g = getattr(f, "__globals__", {})
         for n in sorted(names):

@@ -159,6 +159,58 @@ def test_fingerprint_insensitive_to_unrelated_module_text():
     assert "STOPWORDS=" not in parts
 
 
+def test_engine_code_is_in_extraction_key_fingerprints():
+    """ADVICE r05 low #1: a regression in shared engine code (core/,
+    pages.py, udf.py) must invalidate the driver evidence of the keys that
+    execute it. The extraction family reaches the engine through
+    registry.docs_for's lazy in-function imports — invisible to a globals
+    walk, so the source-text import scan must pick them up."""
+    parts = "\n".join(freshness._law_parts(QUERIES["utf8_text"]))
+    assert "EXTMOD:tesserocr_spark.api=" in parts
+    assert "EXTMOD:tesserocr_spark.pages=" in parts
+    # the api module's closure transitively covers the whole core
+    closure = set(freshness._module_closure("tesserocr_spark.api"))
+    for mod in (
+        "tesserocr_spark.core.extractor",
+        "tesserocr_spark.core.segment",
+        "tesserocr_spark.core.tokenizer",
+        "tesserocr_spark.core.fold",
+        "tesserocr_spark.core.osd",
+        "tesserocr_spark.udf",
+    ):
+        assert mod in closure, mod
+
+
+def test_engine_sha_moves_extraction_keys_only(monkeypatch):
+    """Simulated core edit: perturbing the module-closure sha must change
+    the law of a key that executes engine code and leave a pure-SQL
+    relational key untouched."""
+    base_ex = freshness.law_sha("utf8_text", "SELECT 1", QUERIES["utf8_text"])
+    base_rel = freshness.law_sha(
+        "bbox_envelope", "SELECT 2", QUERIES["bbox_envelope"]
+    )
+    monkeypatch.setattr(
+        freshness, "_module_closure_sha", lambda name: "simulated-core-edit"
+    )
+    assert freshness.law_sha(
+        "utf8_text", "SELECT 1", QUERIES["utf8_text"]
+    ) != base_ex
+    assert freshness.law_sha(
+        "bbox_envelope", "SELECT 2", QUERIES["bbox_envelope"]
+    ) == base_rel
+
+
+def test_engine_blast_radius_stays_under_cap():
+    """A core/ edit invalidates exactly the keys whose closure reaches the
+    engine; that set must stay comfortably under the soft margin or core
+    maintenance becomes impossible under the overflow test."""
+    hit = [
+        k for k, fn in QUERIES.items()
+        if any(p.startswith("EXTMOD:") for p in freshness._law_parts(fn))
+    ]
+    assert 0 < len(hit) <= freshness.DRIVER_CAP - freshness.SOFT_MARGIN, hit
+
+
 def test_law_change_mid_simulation_forces_reverification():
     keys = [f"k{i:02d}" for i in range(60)]
     shas = {k: "s" for k in keys}
