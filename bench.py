@@ -27,6 +27,7 @@ BENCH_QUERIES = (
     "dedup_campaign_keep_lsh", # since r04
     "multimodal_decode",       # since r04
     "multimodal_pixels",       # since r05 (full PNG pixel decode)
+    "dedup_substrings",        # since r05 (Lee et al. ExactSubstr scan)
     "ann_bruteforce_topk",
     "q1_flagship_agg",
     "revenue_by_nation",
@@ -133,12 +134,12 @@ def main() -> None:
         ),
     )
     # r04 added dedup_simhash64 / dedup_campaign_keep_lsh / multimodal_decode
-    # and r05 added multimodal_pixels to the timed set — bench_total is NOT
-    # comparable across those rounds without subtracting them (note in
-    # BENCH/BASELINE.md); per-query timings stay comparable.
+    # and r05 added multimodal_pixels + dedup_substrings to the timed set —
+    # bench_total is NOT comparable across those rounds without subtracting
+    # them (note in BENCH/BASELINE.md); per-query timings stay comparable.
     for q in ("dedup_minhash_lsh", "dedup_simhash64", "dedup_campaign_keep_lsh",
-              "multimodal_decode", "multimodal_pixels", "ann_bruteforce_topk",
-              "q1_flagship_agg", "revenue_by_nation"):
+              "multimodal_decode", "multimodal_pixels", "dedup_substrings",
+              "ann_bruteforce_topk", "q1_flagship_agg", "revenue_by_nation"):
         timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)

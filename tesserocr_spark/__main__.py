@@ -49,10 +49,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="instead of extraction: C4-style cross-corpus "
                          "sentence dedup over --input; writes cleaned "
                          "(doc_id, text) to <output>.clean")
+    ap.add_argument("--substring-dedup", action="store_true",
+                    help="instead of extraction: exact-substring dedup "
+                         "(Lee et al. 2022 ExactSubstr, 8-word windows) "
+                         "over --input; every duplicated window is removed "
+                         "from all but its corpus-order-first occurrence; "
+                         "writes cleaned (doc_id, text) to <output>.clean")
     args = ap.parse_args(argv)
-    if (args.dedup_campaign or args.sentence_dedup) and not args.input:
-        ap.error("--dedup-campaign/--sentence-dedup require --input "
-                 "(documents parquet)")
+    if (args.dedup_campaign or args.sentence_dedup
+            or args.substring_dedup) and not args.input:
+        ap.error("--dedup-campaign/--sentence-dedup/--substring-dedup "
+                 "require --input (documents parquet)")
 
     from pyspark.sql import SparkSession
 
@@ -78,6 +85,24 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.output}.clean"
         )
         n = spark.read.parquet(f"{args.output}.clean").count()
+        print(json.dumps({"clean": f"{args.output}.clean", "n_docs": n}))
+        spark.stop()
+        return 0
+
+    if args.substring_dedup:
+        from tesserocr_spark.queries.dedup import substring_dedup_frame
+        from tesserocr_spark.queries.registry import release_cache
+
+        docs = (
+            spark.read.parquet(args.input)
+            .select("doc_id", "text")
+            .repartition(4 * spark.sparkContext.defaultParallelism)
+        )
+        substring_dedup_frame(docs).write.mode("overwrite").parquet(
+            f"{args.output}.clean"
+        )
+        n = spark.read.parquet(f"{args.output}.clean").count()
+        release_cache()  # free the persisted word-array frame
         print(json.dumps({"clean": f"{args.output}.clean", "n_docs": n}))
         spark.stop()
         return 0

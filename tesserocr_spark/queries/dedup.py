@@ -1011,3 +1011,209 @@ def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_fp"),
         )
     )
+
+
+# -- exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data") ---
+
+#: scan width in words: a passage is duplicated when the same width-word
+#: window occurs more than once corpus-wide.
+_SUB_W = 8
+
+#: packed (doc_id, pos) total order for the canonical-copy rule. The 2^32
+#: stride bounds word positions — a document with >= 2^32 words would break
+#: the packing long before it broke anything else.
+_SUB_STRIDE = 4294967296
+
+#: planted passage (10 words -> three duplicate 8-gram windows per doc):
+#: the synthetic corpus shares no natural 8-grams, so every doc_id % 5 == 0
+#: document gets the same trailing passage, which the scan must strip from
+#: all but the packed-order-first copy.
+_SUB_PASSAGE = (
+    "all rights reserved this content is provided without any warranty"
+)
+
+
+def _sub_word_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, w: array<string>) — PERSISTED. The gram builder and the
+    kept-word rebuild both index ``w`` inside higher-order-function
+    lambdas; without the persist CollapseProject inlines the ``split``
+    under every lambda element evaluation (the r04 64x md5 trap —
+    CLAUDE.md 'alias-in-lambda inlining')."""
+    return track_persist(
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+    )
+
+
+def _sub_gram_occurrences(words: DataFrame, width: int = _SUB_W) -> DataFrame:
+    """(doc_id, pos, gk, packed) — every width-word window of every
+    document, keyed by md5 of the space-joined window (16-byte join keys,
+    same skew hardening as sentence dedup)."""
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {width} THEN "
+                f"transform(sequence(1, size(w) - {width} + 1), "
+                f"i -> named_struct('pos', i, "
+                f"'gk', md5(array_join(slice(w, i, {width}), ' ')))) "
+                "ELSE cast(array() as array<struct<pos:int,gk:string>>) END"
+            )
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        F.col("o.pos").alias("pos"),
+        F.col("o.gk").alias("gk"),
+        (F.col("doc_id") * F.lit(_SUB_STRIDE) + F.col("o.pos")).alias("packed"),
+    )
+
+
+def _sub_covered(words: DataFrame, width: int = _SUB_W) -> DataFrame:
+    """(doc_id, cov: array<int>) — word positions covered by a duplicated
+    window occurrence that is NOT the corpus-wide canonical (packed-order
+    first) copy. Shape: one gk-keyed aggregate (map-side combine), one
+    gk equi-join, one per-doc regroup — no windows, no collect."""
+    occ = _sub_gram_occurrences(words, width)
+    freq = occ.groupBy("gk").agg(
+        F.count("*").alias("n"), F.min("packed").alias("first_packed")
+    )
+    dup = occ.join(freq, "gk").filter(
+        (F.col("n") > 1) & (F.col("packed") != F.col("first_packed"))
+    )
+    return (
+        dup.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {width} - 1)")).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+
+
+def _sub_kept_words_expr() -> str:
+    """Words at uncovered positions, original order (cov2 = null-safe
+    covered-position array)."""
+    return (
+        "transform(filter(transform(sequence(1, size(w)), "
+        "i -> named_struct('i', i, 'wd', w[i - 1])), "
+        "s -> NOT array_contains(cov2, s.i)), s -> s.wd)"
+    )
+
+
+def substring_dedup_frame(docs: DataFrame, width: int = _SUB_W) -> DataFrame:
+    """PRODUCTION exact-substring dedup over any (doc_id, text) frame —
+    the ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", public method re-expressed as DataFrame
+    ops) at word granularity: every ``width``-word window that occurs more
+    than once corpus-wide is removed from every document except the
+    packed-(doc_id, pos)-order first occurrence, and the surviving words
+    are rejoined in order. Returns (doc_id, text). Shipped in the job CLI
+    as ``--substring-dedup``.
+
+    100 TB shape: the gram aggregate and the per-doc regroups shuffle on
+    md5 window keys / doc_id; the gram⋈freq equi-join inherits the
+    sentence-dedup skew note (global boilerplate = hottest keys; AQE
+    skewJoin enabled in the job CLI). No collect, no global window;
+    per-doc state is bounded by document length."""
+    words = _sub_word_arrays(docs.select("doc_id", F.trim("text").alias("text")))
+    cov = _sub_covered(words, width)
+    return (
+        words.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce(F.col("cov"), F.expr("cast(array() as array<int>)"))
+            .alias("cov2"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.expr(_sub_kept_words_expr()), " ").alias("text"),
+        )
+    )
+
+
+@query(
+    "dedup_substrings",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN trim(text) || ' {_SUB_PASSAGE}'
+              ELSE trim(text) END AS text
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM planted),
+occ AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i : i + {_SUB_W} - 1], ' ')) AS gk,
+         doc_id * {_SUB_STRIDE} + i AS packed
+  FROM words, unnest(range(1, len(w) - {_SUB_W} + 2)) AS t(i)
+  WHERE len(w) >= {_SUB_W}
+),
+freq AS (SELECT gk, count(*) AS n, min(packed) AS fp FROM occ GROUP BY gk),
+dup AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN freq f USING (gk)
+  WHERE f.n > 1 AND o.packed != f.fp
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS p
+  FROM dup, unnest(range(0, {_SUB_W})) AS t(j)
+),
+wpos AS (
+  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+  FROM words
+)
+SELECT wp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_words,
+       round(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_frac,
+       md5(coalesce(string_agg(CASE WHEN c.p IS NULL THEN wp.word END,
+                               ' ' ORDER BY wp.i), '')) AS kept_fp
+FROM wpos wp
+LEFT JOIN cov c ON c.doc_id = wp.doc_id AND c.p = wp.i
+GROUP BY wp.doc_id""",
+)
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup scan (Lee et al. 2022 ExactSubstr, word-window
+    variant): per document, how many words sit inside a duplicated
+    8-word window whose occurrence is not the corpus-wide canonical
+    copy, plus an md5 fingerprint of the surviving text. The synthetic
+    corpus shares no natural 8-grams, so a 10-word passage is planted on
+    every doc_id % 5 == 0 document (three overlapping duplicate windows
+    each); the packed-order-first planted doc keeps its copy.
+
+    Laws shared with the oracle: ASCII-space word split (split('') is ['']
+    — a blank doc counts 1 empty word, registry docstring); md5 window
+    keys; 2^32 packed (doc_id, pos) order; round(dup/total, 4) with
+    float division on both engines."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.trim("text").alias("text"))
+    )
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(f" {_SUB_PASSAGE}")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    words = _sub_word_arrays(planted)
+    cov = _sub_covered(words)
+    kept = _sub_kept_words_expr()
+    return (
+        words.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "w",
+            F.coalesce(F.col("cov"), F.expr("cast(array() as array<int>)"))
+            .alias("cov2"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size("cov2").cast("bigint").alias("n_dup_words"),
+            F.round(F.size("cov2") / F.size("w"), 4).alias("dup_frac"),
+            F.md5(F.array_join(F.expr(kept), " ")).alias("kept_fp"),
+        )
+    )

@@ -917,3 +917,64 @@ class TestTextOpsGates:
         for did in rows:
             ws = docs[did] if did in docs else docs[did - _LEAK_OFFSET][1:]
             assert grams(ws) & eval_grams, did
+
+
+class TestSubstringDedup:
+    def test_scan_covers_planted_passage(self, spark):
+        """Lee et al. ExactSubstr scan: the 10-word passage planted on
+        every doc_id % 5 == 0 doc is covered in all but the packed-order
+        first host (doc 0), and when ONLY the passage was covered the
+        surviving fingerprint is exactly the original document. (Larger
+        covered counts are real: the synthetic docs share template
+        prefixes/suffixes, which ARE duplicated 8-grams.)"""
+        import hashlib
+
+        from tesserocr_spark.queries.dedup import dedup_substrings
+
+        rows = {r.doc_id: r for r in dedup_substrings(spark, SF_DIR).collect()}
+        orig = {
+            r.doc_id: r.text.strip()
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        }
+        assert rows.keys() == orig.keys()
+        # canonical host keeps its copy of the passage
+        assert rows[0].n_dup_words == 0
+        exact_passage_only = 0
+        for i, r in rows.items():
+            assert 0 <= r.n_dup_words <= r.n_words, i
+            assert abs(r.dup_frac - round(r.n_dup_words / r.n_words, 4)) < 1e-9
+            if i % 5 == 0 and i != 0:
+                assert r.n_dup_words >= 10, i  # the passage never survives
+                if r.n_dup_words == 10:
+                    # only the passage was covered -> original text back
+                    assert r.kept_fp == hashlib.md5(
+                        orig[i].encode()
+                    ).hexdigest(), i
+                    exact_passage_only += 1
+        assert exact_passage_only > 0
+
+    def test_frame_removes_all_but_first_occurrence(self, spark):
+        """Production path: cross-doc AND within-doc duplicated windows
+        are removed everywhere except the packed-(doc_id, pos)-first
+        occurrence; short documents (< 8 words) are never touched."""
+        from tesserocr_spark.queries.dedup import substring_dedup_frame
+
+        passage = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{passage} tail words here"),
+                (2, f"lead in {passage}"),
+                (3, "short doc only"),
+                (4, f"{passage} middle {passage}"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.text for r in substring_dedup_frame(docs).collect()}
+        # doc 1 holds the packed-first occurrence -> untouched
+        assert out[1] == f"{passage} tail words here"
+        # doc 2's copy is removed, the rest survives in order
+        assert out[2] == "lead in"
+        # sub-window docs are untouched
+        assert out[3] == "short doc only"
+        # doc 4: both occurrences are non-canonical (doc 1 owns the window)
+        assert out[4] == "middle"

@@ -273,3 +273,15 @@ def test_token_budget_pack_partitions_by_source(spark):
     plan = _plan(token_budget_pack(spark, SF_DIR))
     assert "hashpartitioning(source" in plan
     assert "rangepartitioning" not in plan  # a global orderBy would add one
+
+
+def test_substring_dedup_gram_join_is_equi_not_allpairs(spark):
+    """ExactSubstr: the occ⋈freq gram join must key on the 16-byte md5
+    window hash (hash/sort-merge equi join), never an all-pairs plan, and
+    the kept-word rebuild must not smuggle in a window over the corpus."""
+    from tesserocr_spark.queries.dedup import dedup_substrings
+
+    plan = _plan(dedup_substrings(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
