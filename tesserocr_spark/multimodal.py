@@ -2,13 +2,15 @@
 
 Two decode tiers:
 
-* **Real container parsing** (``parse_bmp`` / ``parse_png`` / ``parse_wav``
-  + the ``decode_map`` kernel): pure-Python ``struct`` parsing of the BMP
-  BITMAPINFOHEADER, the PNG chunk list (IHDR CRC-checked with stdlib
-  ``zlib.crc32``), and the RIFF/WAVE chunk list — fixed public layouts that
-  need no codec dependency (mirrors the reference's image-bytes ingest,
-  ``tesserocr/tesserocr.pyx:362-369`` ``_image_buffer`` /
-  ``SetImageBytes`` ``:1720-1750`` / ``SetImageBytesBmp`` ``:1752-1772``).
+* **Real container parsing** (``parse_bmp`` / ``parse_png`` /
+  ``parse_jpeg`` / ``parse_wav`` + the ``decode_map`` kernel): pure-Python
+  ``struct`` parsing of the BMP BITMAPINFOHEADER, the PNG chunk list (IHDR
+  CRC-checked with stdlib ``zlib.crc32``), the JPEG marker-segment walk
+  (ITU T.81 — SOFn frame header), and the RIFF/WAVE chunk list — fixed
+  public layouts that need no codec dependency (mirrors the reference's
+  image-bytes ingest, ``tesserocr/tesserocr.pyx:362-369``
+  ``_image_buffer`` / ``SetImageBytes`` ``:1720-1750`` /
+  ``SetImageBytesBmp`` ``:1752-1772``).
   PNG is real END-TO-END: ``decode_png_pixels`` inflates the IDAT stream
   with stdlib ``zlib`` and inverts all five PNG scanline filters (None /
   Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. Malformed
@@ -17,7 +19,7 @@ Two decode tiers:
 * **Deterministic stub** (``_decode_one`` + ``decode_stub_map``): fake
   metadata as a pure function of the bytes, kept for payloads with no
   parseable container (and frozen by the ``multimodal_stub`` oracle law).
-  Pixel decode / resample of JPEG/MP4 still needs PIL/ffmpeg and stays
+  JPEG *pixel* decode (DCT/Huffman) and MP4 still need PIL/ffmpeg and stay
   stubbed in ``resize_stub_map``.
 
 NULL-payload law (ADVICE r04): a missing payload is NOT the same thing as
@@ -250,13 +252,82 @@ def parse_wav(payload: bytes) -> dict | None:
     }
 
 
+#: markers with no length field (SOI, TEM, RST0-7) — ITU T.81 §B.1.1.3.
+_JPEG_STANDALONE = frozenset({0xD8, 0x01} | set(range(0xD0, 0xD8)))
+
+#: start-of-frame markers SOF0-SOF15 minus DHT (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = frozenset(set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC})
+
+
+def parse_jpeg(payload: bytes) -> dict | None:
+    """REAL JPEG header parser (ITU T.81 marker-segment walk): SOI, then
+    big-endian length-prefixed segments up to SOS, reading the SOFn frame
+    header (precision, height, width, component count) on the way — the
+    public dimensions-without-a-codec scan every media pipeline runs.
+    Requires SOI at byte 0, EOI at the end, a structurally valid segment
+    walk, and an SOF before SOS; entropy-coded data after SOS is never
+    scanned. ``bpp`` is precision × components, mirroring the BMP/PNG
+    fields."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8" or \
+            payload[-2:] != b"\xff\xd9":
+        return None
+    off, sof = 2, None
+    while off + 2 <= len(payload):
+        if payload[off] != 0xFF:
+            return None
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte before a marker — legal padding
+            off += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            off += 2
+            continue
+        if off + 4 > len(payload):
+            return None
+        seglen = struct.unpack_from(">H", payload, off + 2)[0]
+        if seglen < 2 or off + 2 + seglen > len(payload):
+            return None
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                return None
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", payload, off + 4
+            )
+            if seglen != 8 + 3 * ncomp or ncomp not in (1, 3, 4):
+                return None
+            if precision not in (8, 12, 16):
+                return None
+            if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+                return None
+            sof = (precision, height, width, ncomp)
+        if marker == 0xDA:  # SOS — entropy-coded data follows, stop here
+            if sof is None:
+                return None
+            precision, height, width, ncomp = sof
+            return {
+                "format": "jpeg",
+                "width": width,
+                "height": height,
+                "bpp": precision * ncomp,
+                "n_channels": ncomp,
+                "sample_rate": 0,
+                "n_frames": 1,
+                "n_bytes": len(payload),
+            }
+        off += 2 + seglen
+    return None  # ran out of bytes before any SOS
+
+
 def decode_media(payload: bytes) -> dict:
-    """Real decode with stub fallback: BMP → PNG → WAV → deterministic stub
-    (format='raw', stub law for width/frames, so unknown blobs still yield
-    stable, partition-independent metadata instead of failing the scan).
-    The three parsers are mutually exclusive on magic bytes, so order is
-    cosmetic."""
-    meta = parse_bmp(payload) or parse_png(payload) or parse_wav(payload)
+    """Real decode with stub fallback: BMP → PNG → JPEG → WAV →
+    deterministic stub (format='raw', stub law for width/frames, so
+    unknown blobs still yield stable, partition-independent metadata
+    instead of failing the scan). The four parsers are mutually exclusive
+    on magic bytes, so order is cosmetic."""
+    meta = (
+        parse_bmp(payload) or parse_png(payload) or parse_jpeg(payload)
+        or parse_wav(payload)
+    )
     if meta is not None:
         return meta
     stub = _decode_one(payload)
@@ -289,7 +360,7 @@ _NULL_META = {
 
 def decode_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> DECODE_SCHEMA rows
-    via the real BMP/PNG/WAV parsers with stub fallback. NULL payloads
+    via the real BMP/PNG/JPEG/WAV parsers with stub fallback. NULL payloads
     (normal in a binary column at corpus scale) emit ``format = NULL``
     rather than the empty-blob stub — a scan never dies on one, and audits
     can count them."""
@@ -379,6 +450,32 @@ def make_png(
     return _PNG_SIG + body
 
 
+def make_jpeg(
+    width: int, height: int, ncomp: int = 3, precision: int = 8
+) -> bytes:
+    """Build a structurally valid JPEG marker stream (SOI → APP0/JFIF →
+    SOF0 → SOS → entropy stub → EOI) — test/synth helper documenting the
+    exact marker walk ``parse_jpeg`` reads. The entropy-coded data after
+    SOS is a stub (no DCT/Huffman), so only the header tier is real —
+    matching ``parse_jpeg``, which never scans past SOS."""
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
+    for c in range(ncomp):
+        sof += bytes((c + 1, 0x11, 0))  # component id, 1x1 sampling, qtable 0
+    sos = bytes((ncomp,))
+    for c in range(ncomp):
+        sos += bytes((c + 1, 0))  # component id, DC/AC table selectors
+    sos += bytes((0, 63, 0))  # spectral selection + approximation
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + b"\x00" * 8  # entropy stub
+        + b"\xff\xd9"
+    )
+
+
 def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     """Build a valid PCM RIFF/WAVE container (test/synth helper)."""
     data = bytes(n_frames * channels * (bits // 8))
@@ -395,23 +492,31 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
 
 def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: doc_id -> deterministic real container bytes
-    (WAV for doc_id % 3 == 0, filtered+deflated RGB PNG for % 3 == 1, else
-    24-bpp BMP) — the payload source for the ``multimodal_decode`` oracle
-    query, whose DuckDB twin predicts the header fields arithmetically from
-    doc_id."""
+    (WAV for doc_id % 4 == 0, filtered+deflated RGB PNG for % 4 == 1,
+    24-bpp BMP for % 4 == 2, else JPEG) — the payload source for the
+    ``multimodal_decode`` oracle query, whose DuckDB twin predicts the
+    header fields arithmetically from doc_id. WAV channel/bit variants key
+    on ``i % 5`` (coprime to the 4-cycle, so both variants occur); JPEG
+    alternates grayscale/RGB on ``i % 8``."""
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             i = int(doc_id)
-            if i % 3 == 0:
+            if i % 4 == 0:
+                v = (i % 5) % 2
                 payloads.append(
-                    make_wav(1 + i % 2, 8000 + (i % 5) * 1000, 8 + (i % 2) * 8,
+                    make_wav(1 + v, 8000 + (i % 5) * 1000, 8 + v * 8,
                              100 + i % 50)
                 )
-            elif i % 3 == 1:
+            elif i % 4 == 1:
                 payloads.append(make_png(1 + i % 48, 1 + i % 24, 2))
-            else:
+            elif i % 4 == 2:
                 payloads.append(make_bmp(1 + i % 64, 1 + i % 32, 24, i % 256))
+            else:
+                payloads.append(
+                    make_jpeg(1 + i % 40, 1 + i % 20,
+                              1 if i % 8 == 3 else 3)
+                )
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
 

@@ -607,26 +607,31 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'png' ELSE 'bmp' END AS format,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 48
-            ELSE 1 + doc_id % 64 END AS INT) AS width,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 24
-            ELSE 1 + doc_id % 32 END AS INT) AS height,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 2) * 8 ELSE 24 END AS INT) AS bpp,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
+       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 48
+            WHEN 2 THEN 1 + doc_id % 64 ELSE 1 + doc_id % 40 END AS INT) AS width,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 24
+            WHEN 2 THEN 1 + doc_id % 32 ELSE 1 + doc_id % 20 END AS INT) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8 + ((doc_id % 5) % 2) * 8
+            WHEN 3 THEN CASE WHEN doc_id % 8 = 3 THEN 8 ELSE 24 END
+            ELSE 24 END AS INT) AS bpp,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 100 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
 FROM documents""",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (no codec deps): deterministic container
-    bytes are synthesized per doc_id (WAV for doc_id % 3 == 0, a
-    filtered+deflated RGB PNG for % 3 == 1, else a 24-bpp BMP), shipped
-    through Arrow as a binary column, and parsed back by the pure-Python
-    BMP/PNG/WAV parsers in ``decode_map`` (the PNG side CRC-checks IHDR).
+    bytes are synthesized per doc_id (WAV for doc_id % 4 == 0, a
+    filtered+deflated RGB PNG for % 4 == 1, a 24-bpp BMP for % 4 == 2,
+    else a JPEG marker stream), shipped through Arrow as a binary column,
+    and parsed back by the pure-Python BMP/PNG/JPEG/WAV parsers in
+    ``decode_map`` (the PNG side CRC-checks IHDR; the JPEG side walks the
+    ITU T.81 marker segments to the SOF0 frame header).
     The DuckDB oracle predicts every header field arithmetically from
     doc_id, so any parser defect (endianness, offsets, row padding, chunk
-    walking, CRC handling) hash-mismatches. Two chained ``mapInPandas``
-    stages, both narrow — at 100 TB the decode runs wherever the payload
-    partition lives."""
+    walking, CRC handling, marker-length arithmetic) hash-mismatches. Two
+    chained ``mapInPandas`` stages, both narrow — at 100 TB the decode
+    runs wherever the payload partition lives."""
     from ..multimodal import DECODE_SCHEMA, decode_map, synth_payload_map
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -641,7 +646,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dims AS (
   SELECT doc_id, 1 + doc_id % 48 AS w, 1 + doc_id % 24 AS h
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 4 = 1
 ),
 xs AS (SELECT unnest(range(48)) AS x),
 ys AS (SELECT unnest(range(24)) AS y),
@@ -657,7 +662,7 @@ GROUP BY d.doc_id""",
 )
 def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode end-to-end in the driver harness: the synth
-    kernel builds a real RGB PNG per doc_id % 3 == 1 document (gradient
+    kernel builds a real RGB PNG per doc_id % 4 == 1 document (gradient
     pixels ``(3x + 7y + 11c) % 256``, scanlines filtered with all five PNG
     filter types, zlib-deflated), ships it through Arrow as binary, and
     ``pixel_stats_map`` inflates + unfilters back to raw bytes and
@@ -669,6 +674,6 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from ..multimodal import PIXEL_STATS_SCHEMA, pixel_stats_map, synth_payload_map
 
-    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 3 == 1)
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 4 == 1)
     payloads = d.mapInPandas(synth_payload_map, "doc_id bigint, payload binary")
     return payloads.mapInPandas(pixel_stats_map, PIXEL_STATS_SCHEMA)

@@ -567,6 +567,62 @@ class TestRealContainerParsers:
         assert parse_wav(b"RIFX" + w[4:]) is None
         assert parse_wav(w[:20]) is None  # chunk size overruns buffer
 
+    def test_parse_jpeg_hand_built(self):
+        from tesserocr_spark.multimodal import make_jpeg, parse_jpeg
+
+        m = parse_jpeg(make_jpeg(17, 9, 3))
+        assert m == {
+            "format": "jpeg", "width": 17, "height": 9, "bpp": 24,
+            "n_channels": 3, "sample_rate": 0, "n_frames": 1,
+            "n_bytes": m["n_bytes"],
+        }
+        gray = parse_jpeg(make_jpeg(40, 20, 1))
+        assert gray["bpp"] == 8 and gray["n_channels"] == 1
+        cmyk12 = parse_jpeg(make_jpeg(5, 5, 4, precision=12))
+        assert cmyk12["bpp"] == 48 and cmyk12["n_channels"] == 4
+
+    def test_parse_jpeg_marker_walk_skips_com_fill_and_standalone(self):
+        import struct
+
+        from tesserocr_spark.multimodal import make_jpeg, parse_jpeg
+
+        j = make_jpeg(8, 4, 3)
+        head, sof_on = j.split(b"\xff\xc0", 1)
+        # a COM segment, a fill byte, and a standalone TEM before SOF0 —
+        # the walker must step over all three (ITU T.81 §B.1.1.2-3)
+        com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hello"
+        walked = head + com + b"\xff" + b"\xff\x01" + b"\xff\xc0" + sof_on
+        m = parse_jpeg(walked)
+        assert m is not None and m["width"] == 8 and m["height"] == 4
+
+    def test_parse_jpeg_rejects_malformed(self):
+        import struct
+
+        from tesserocr_spark.multimodal import make_jpeg, parse_jpeg
+
+        good = make_jpeg(16, 4, 3)
+        assert parse_jpeg(good)["bpp"] == 24
+        assert parse_jpeg(good[:-2]) is None  # EOI missing
+        assert parse_jpeg(b"\xff\xd9" + good[2:]) is None  # wrong magic
+        # SOS before any SOF: cut the SOF0 segment out entirely
+        sof_at = good.index(b"\xff\xc0")
+        sof_len = struct.unpack_from(">H", good, sof_at + 2)[0]
+        assert parse_jpeg(good[:sof_at] + good[sof_at + 2 + sof_len:]) is None
+        # segment length overruns the buffer
+        overrun = bytearray(good)
+        struct.pack_into(">H", overrun, sof_at + 2, 0xFFF0)
+        assert parse_jpeg(bytes(overrun)) is None
+        # illegal zero-length segment (seglen < 2)
+        zlen = bytearray(good)
+        struct.pack_into(">H", zlen, sof_at + 2, 1)
+        assert parse_jpeg(bytes(zlen)) is None
+        # component count the law doesn't admit (ncomp=2)
+        assert parse_jpeg(make_jpeg(8, 8, 2)) is None
+        # frame header length inconsistent with ncomp
+        badlen = bytearray(good)
+        struct.pack_into(">H", badlen, sof_at + 2, 8 + 3 * 3 + 1)
+        assert parse_jpeg(bytes(badlen)) is None
+
     def test_decode_media_fallback_is_stub_law(self):
         from tesserocr_spark.multimodal import decode_media
 
@@ -626,7 +682,7 @@ class TestRealContainerParsers:
         from tesserocr_spark.queries.textops import multimodal_pixels
 
         rows = {r.doc_id: r for r in multimodal_pixels(spark, SF_DIR).collect()}
-        assert rows and all(d % 3 == 1 for d in rows)
+        assert rows and all(d % 4 == 1 for d in rows)
         for doc_id, r in rows.items():
             w, h = 1 + doc_id % 48, 1 + doc_id % 24
             assert r.n_px == w * h * 3
@@ -641,16 +697,21 @@ class TestRealContainerParsers:
 
         rows = {r.doc_id: r for r in multimodal_decode(spark, SF_DIR).collect()}
         assert rows
+        assert {r.format for r in rows.values()} == {"wav", "png", "bmp", "jpeg"}
         for doc_id, r in rows.items():
-            if doc_id % 3 == 0:
+            if doc_id % 4 == 0:
                 assert r.format == "wav" and r.n_frames == 100 + doc_id % 50
-                assert r.bpp == 8 + (doc_id % 2) * 8
-            elif doc_id % 3 == 1:
+                assert r.bpp == 8 + ((doc_id % 5) % 2) * 8
+            elif doc_id % 4 == 1:
                 assert r.format == "png" and r.bpp == 24
                 assert r.width == 1 + doc_id % 48 and r.height == 1 + doc_id % 24
-            else:
+            elif doc_id % 4 == 2:
                 assert r.format == "bmp" and r.bpp == 24
                 assert r.width == 1 + doc_id % 64 and r.height == 1 + doc_id % 32
+            else:
+                assert r.format == "jpeg"
+                assert r.bpp == (8 if doc_id % 8 == 3 else 24)
+                assert r.width == 1 + doc_id % 40 and r.height == 1 + doc_id % 20
 
 
 class TestEmbeddingDedup:
