@@ -3,24 +3,28 @@
 Two decode tiers:
 
 * **Real container parsing** (``parse_bmp`` / ``parse_png`` /
-  ``parse_jpeg`` / ``parse_wav`` + the ``decode_map`` kernel): pure-Python
-  ``struct`` parsing of the BMP BITMAPINFOHEADER, the PNG chunk list (IHDR
-  CRC-checked with stdlib ``zlib.crc32``), the JPEG marker-segment walk
-  (ITU T.81 — SOFn frame header), and the RIFF/WAVE chunk list — fixed
-  public layouts that need no codec dependency (mirrors the reference's
-  image-bytes ingest, ``tesserocr/tesserocr.pyx:362-369``
+  ``parse_jpeg`` / ``parse_wav`` / ``parse_mp4`` + the ``decode_map``
+  kernel): pure-Python ``struct`` parsing of the BMP BITMAPINFOHEADER, the
+  PNG chunk list (IHDR CRC-checked with stdlib ``zlib.crc32``), the JPEG
+  marker-segment walk (ITU T.81 — SOFn frame header), the RIFF/WAVE chunk
+  list, and the ISO BMFF (MP4) box tree (``moov``/``mvhd``/``trak``/
+  ``tkhd``) — fixed public layouts that need no codec dependency (mirrors
+  the reference's image-bytes ingest, ``tesserocr/tesserocr.pyx:362-369``
   ``_image_buffer`` / ``SetImageBytes`` ``:1720-1750`` /
   ``SetImageBytesBmp`` ``:1752-1772``).
   PNG is real END-TO-END: ``decode_png_pixels`` inflates the IDAT stream
   with stdlib ``zlib`` and inverts all five PNG scanline filters (None /
-  Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. Malformed
-  or unknown payloads fall back to the deterministic stub rather than
-  raising, so a 100 TB scan never dies on one bad blob.
+  Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. WAV is
+  also real END-TO-END: ``decode_wav_samples`` decodes the PCM ``data``
+  chunk (8-bit unsigned / 16-bit signed LE) to sample statistics.
+  Malformed or unknown payloads fall back to the deterministic stub
+  rather than raising, so a 100 TB scan never dies on one bad blob.
 * **Deterministic stub** (``_decode_one`` + ``decode_stub_map``): fake
   metadata as a pure function of the bytes, kept for payloads with no
   parseable container (and frozen by the ``multimodal_stub`` oracle law).
-  JPEG *pixel* decode (DCT/Huffman) and MP4 still need PIL/ffmpeg and stay
-  stubbed in ``resize_stub_map``.
+  JPEG *pixel* decode (DCT/Huffman) and MP4 *frame* decode still need
+  PIL/ffmpeg and stay stubbed in ``resize_stub_map`` — MP4 *metadata*
+  (dimensions, timescale, duration, track count) is real.
 
 NULL-payload law (ADVICE r04): a missing payload is NOT the same thing as
 a zero-byte blob — ``decode_map`` emits ``format = NULL`` (all numeric
@@ -318,15 +322,106 @@ def parse_jpeg(payload: bytes) -> dict | None:
     return None  # ran out of bytes before any SOS
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_offset, body_end) for each ISO BMFF box in
+    ``payload[start:end]`` (ISO/IEC 14496-12 §4.2): 32-bit big-endian size
+    + 4-byte type, ``size == 1`` → 64-bit largesize follows, ``size == 0``
+    → box extends to ``end``. Stops (no exception) at the first
+    structural violation, like ``_png_chunks``."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", payload, off)[0]
+        btype = payload[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = struct.unpack_from(">Q", payload, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            return
+        yield btype, body, off + size
+        off += size
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """REAL ISO BMFF (MP4/MOV family) metadata parser: top-level box walk
+    requiring a leading ``ftyp``, then inside ``moov`` the ``mvhd``
+    movie header (timescale + duration, version 0 and 1 layouts) and each
+    ``trak``'s ``tkhd`` (16.16 fixed-point presentation width/height) —
+    the dimensions-and-duration-without-a-codec scan every video pipeline
+    runs (ISO/IEC 14496-12 §8.2.2, §8.3.2). ``width``/``height`` come
+    from the first track with nonzero dimensions (the video track);
+    ``n_channels`` counts tracks, ``sample_rate`` is the movie timescale
+    and ``n_frames`` the movie duration in timescale ticks."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    timescale = duration = None
+    width = height = 0
+    n_traks = 0
+    saw_moov = False
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        saw_moov = True
+        for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+            if ctype == b"mvhd":
+                if cbody + 4 > cend:
+                    return None
+                version = payload[cbody]
+                if version == 0:
+                    if cbody + 4 + 16 > cend:
+                        return None
+                    timescale, duration = struct.unpack_from(
+                        ">II", payload, cbody + 12
+                    )
+                elif version == 1:
+                    if cbody + 4 + 28 > cend:
+                        return None
+                    timescale = struct.unpack_from(">I", payload, cbody + 20)[0]
+                    duration = struct.unpack_from(">Q", payload, cbody + 24)[0]
+                else:
+                    return None
+            elif ctype == b"trak":
+                n_traks += 1
+                for ttype, tbody, tend in _mp4_boxes(payload, cbody, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    version = payload[tbody]
+                    # width/height are the LAST 8 bytes of the box body in
+                    # both versions (after the 36-byte matrix)
+                    if version not in (0, 1) or tend - tbody < 80:
+                        return None
+                    w_fp, h_fp = struct.unpack_from(">II", payload, tend - 8)
+                    if width == 0 and w_fp:
+                        width, height = w_fp >> 16, h_fp >> 16
+    if not saw_moov or timescale is None or n_traks == 0:
+        return None
+    if not (0 <= width <= 1 << 20 and 0 <= height <= 1 << 20):
+        return None
+    return {
+        "format": "mp4",
+        "width": width,
+        "height": height,
+        "bpp": 0,
+        "n_channels": n_traks,
+        "sample_rate": timescale,
+        "n_frames": duration,
+        "n_bytes": len(payload),
+    }
+
+
 def decode_media(payload: bytes) -> dict:
-    """Real decode with stub fallback: BMP → PNG → JPEG → WAV →
+    """Real decode with stub fallback: BMP → PNG → JPEG → WAV → MP4 →
     deterministic stub (format='raw', stub law for width/frames, so
     unknown blobs still yield stable, partition-independent metadata
-    instead of failing the scan). The four parsers are mutually exclusive
+    instead of failing the scan). The five parsers are mutually exclusive
     on magic bytes, so order is cosmetic."""
     meta = (
         parse_bmp(payload) or parse_png(payload) or parse_jpeg(payload)
-        or parse_wav(payload)
+        or parse_wav(payload) or parse_mp4(payload)
     )
     if meta is not None:
         return meta
@@ -476,9 +571,51 @@ def make_jpeg(
     )
 
 
+def make_mp4(
+    width: int, height: int, timescale: int, duration: int, n_traks: int = 1
+) -> bytes:
+    """Build a structurally valid minimal ISO BMFF stream (``ftyp`` →
+    ``moov(mvhd, trak(tkhd)×n)`` → ``mdat`` stub) — test/synth helper
+    documenting the exact box layout ``parse_mp4`` reads. Only the first
+    track carries nonzero 16.16 fixed-point dimensions (the 'video'
+    track); the rest are zero-sized 'audio' tracks."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", n_traks + 1),  # next_track_ID
+    )
+    traks = b""
+    for t in range(n_traks):
+        w, h = (width, height) if t == 0 else (0, 0)
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, t + 1, duration)
+            + bytes(8)  # reserved
+            + struct.pack(">HHHxx", 0, 0, 0 if t == 0 else 0x0100)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", bytes(8))
+
+
 def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
-    """Build a valid PCM RIFF/WAVE container (test/synth helper)."""
-    data = bytes(n_frames * channels * (bits // 8))
+    """Build a valid PCM RIFF/WAVE container (test/synth helper). The
+    ``data`` chunk carries the deterministic byte ramp ``(5k + 3) % 256``
+    so full sample decode (``decode_wav_samples``) has a closed-form
+    oracle — for 8-bit audio sample j IS byte j; for 16-bit LE audio
+    sample j is ``int16((10j+3)%256 | ((10j+8)%256) << 8)``."""
+    n = n_frames * channels * (bits // 8)
+    data = bytes((5 * k + 3) % 256 for k in range(n))
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
         channels * bits // 8, bits,
@@ -492,30 +629,35 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
 
 def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: doc_id -> deterministic real container bytes
-    (WAV for doc_id % 4 == 0, filtered+deflated RGB PNG for % 4 == 1,
-    24-bpp BMP for % 4 == 2, else JPEG) — the payload source for the
-    ``multimodal_decode`` oracle query, whose DuckDB twin predicts the
-    header fields arithmetically from doc_id. WAV channel/bit variants key
-    on ``i % 5`` (coprime to the 4-cycle, so both variants occur); JPEG
-    alternates grayscale/RGB on ``i % 8``."""
+    (WAV for doc_id % 5 == 0, filtered+deflated RGB PNG for % 5 == 1,
+    24-bpp BMP for % 5 == 2, JPEG for % 5 == 3, else MP4) — the payload
+    source for the ``multimodal_decode`` oracle query, whose DuckDB twin
+    predicts the header fields arithmetically from doc_id. WAV channel/bit
+    variants key on ``i % 7`` (coprime to the 5-cycle, so both variants
+    occur); JPEG alternates grayscale/RGB on ``i % 8``."""
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             i = int(doc_id)
-            if i % 4 == 0:
-                v = (i % 5) % 2
+            if i % 5 == 0:
+                v = (i % 7) % 2
                 payloads.append(
-                    make_wav(1 + v, 8000 + (i % 5) * 1000, 8 + v * 8,
+                    make_wav(1 + v, 8000 + (i % 7) * 1000, 8 + v * 8,
                              100 + i % 50)
                 )
-            elif i % 4 == 1:
+            elif i % 5 == 1:
                 payloads.append(make_png(1 + i % 48, 1 + i % 24, 2))
-            elif i % 4 == 2:
+            elif i % 5 == 2:
                 payloads.append(make_bmp(1 + i % 64, 1 + i % 32, 24, i % 256))
-            else:
+            elif i % 5 == 3:
                 payloads.append(
                     make_jpeg(1 + i % 40, 1 + i % 20,
                               1 if i % 8 == 3 else 3)
+                )
+            else:
+                payloads.append(
+                    make_mp4(16 + i % 64, 16 + i % 48, 600,
+                             600 + i % 400, 1 + i % 3)
                 )
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
@@ -540,6 +682,53 @@ def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 arr = np.frombuffer(px, dtype=np.uint8)
                 rows.append((doc_id, len(px), int(arr.sum(dtype=np.int64))))
         yield pd.DataFrame(rows, columns=["doc_id", "n_px", "pix_sum"])
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int] | None:
+    """Full PCM WAV sample decode (the audio twin of
+    ``decode_png_pixels``): finds the ``fmt ``/``data`` chunks via the
+    same word-aligned walk as ``parse_wav`` and decodes the sample stream
+    — 8-bit audio is unsigned bytes, 16-bit is signed little-endian
+    (the two public PCM WAV sample layouts). Returns
+    ``(n_samples, amplitude_sum)`` or None for non-PCM / non-8/16-bit /
+    structurally invalid payloads — never raises on corpus data."""
+    import numpy as np
+
+    meta = parse_wav(payload)
+    if meta is None or meta["bpp"] not in (8, 16):
+        return None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if cid == b"fmt ":
+            if struct.unpack_from("<H", payload, off + 8)[0] != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            raw = payload[off + 8 : off + 8 + size]
+            if meta["bpp"] == 8:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+            else:
+                arr = np.frombuffer(raw[: size - size % 2], dtype="<i2")
+            return len(arr), int(arr.sum(dtype=np.int64))
+        off += 8 + size + (size & 1)
+    return None
+
+
+AUDIO_STATS_SCHEMA = "doc_id bigint, n_samples bigint, amp_sum bigint"
+
+
+def audio_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> full-PCM-decode
+    stats (sample count + amplitude sum) via ``decode_wav_samples``.
+    Non-WAV / out-of-subset payloads report (0, 0) instead of failing the
+    scan — same never-dies law as ``pixel_stats_map``."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            st = decode_wav_samples(bytes(payload)) if payload is not None else None
+            rows.append((doc_id, st[0], st[1]) if st else (doc_id, 0, 0))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "amp_sum"])
 
 
 def decode_stub_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -607,37 +607,48 @@ def multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
-            WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 48
-            WHEN 2 THEN 1 + doc_id % 64 ELSE 1 + doc_id % 40 END AS INT) AS width,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 24
-            WHEN 2 THEN 1 + doc_id % 32 ELSE 1 + doc_id % 20 END AS INT) AS height,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 8 + ((doc_id % 5) % 2) * 8
+       CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'mp4' END AS format,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 48
+            WHEN 2 THEN 1 + doc_id % 64 WHEN 3 THEN 1 + doc_id % 40
+            ELSE 16 + doc_id % 64 END AS INT) AS width,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 + doc_id % 24
+            WHEN 2 THEN 1 + doc_id % 32 WHEN 3 THEN 1 + doc_id % 20
+            ELSE 16 + doc_id % 48 END AS INT) AS height,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 8 + ((doc_id % 7) % 2) * 8
             WHEN 3 THEN CASE WHEN doc_id % 8 = 3 THEN 8 ELSE 24 END
-            ELSE 24 END AS INT) AS bpp,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 100 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
+            WHEN 4 THEN 0 ELSE 24 END AS INT) AS bpp,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 1 + (doc_id % 7) % 2
+            WHEN 3 THEN CASE WHEN doc_id % 8 = 3 THEN 1 ELSE 3 END
+            WHEN 4 THEN 1 + doc_id % 3 ELSE 3 END AS INT) AS n_channels,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 8000 + (doc_id % 7) * 1000
+            WHEN 4 THEN 600 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE doc_id % 5 WHEN 0 THEN 100 + doc_id % 50
+            WHEN 4 THEN 600 + doc_id % 400 ELSE 1 END AS INT) AS n_frames
 FROM documents""",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode (no codec deps): deterministic container
-    bytes are synthesized per doc_id (WAV for doc_id % 4 == 0, a
-    filtered+deflated RGB PNG for % 4 == 1, a 24-bpp BMP for % 4 == 2,
-    else a JPEG marker stream), shipped through Arrow as a binary column,
-    and parsed back by the pure-Python BMP/PNG/JPEG/WAV parsers in
-    ``decode_map`` (the PNG side CRC-checks IHDR; the JPEG side walks the
-    ITU T.81 marker segments to the SOF0 frame header).
+    bytes are synthesized per doc_id (WAV for doc_id % 5 == 0, a
+    filtered+deflated RGB PNG for % 5 == 1, a 24-bpp BMP for % 5 == 2, a
+    JPEG marker stream for % 5 == 3, else an ISO BMFF MP4), shipped
+    through Arrow as a binary column, and parsed back by the pure-Python
+    BMP/PNG/JPEG/WAV/MP4 parsers in ``decode_map`` (the PNG side
+    CRC-checks IHDR; the JPEG side walks the ITU T.81 marker segments to
+    the SOF0 frame header; the MP4 side walks the box tree to mvhd/tkhd).
     The DuckDB oracle predicts every header field arithmetically from
-    doc_id, so any parser defect (endianness, offsets, row padding, chunk
-    walking, CRC handling, marker-length arithmetic) hash-mismatches. Two
-    chained ``mapInPandas`` stages, both narrow — at 100 TB the decode
-    runs wherever the payload partition lives."""
+    doc_id — including track count and movie timescale — so any parser
+    defect (endianness, offsets, row padding, chunk walking, CRC handling,
+    marker-length arithmetic, 16.16 fixed-point dims) hash-mismatches.
+    Two chained ``mapInPandas`` stages, both narrow — at 100 TB the
+    decode runs wherever the payload partition lives."""
     from ..multimodal import DECODE_SCHEMA, decode_map, synth_payload_map
 
     d = _docs(spark, sf_dir).select("doc_id")
     payloads = d.mapInPandas(synth_payload_map, "doc_id bigint, payload binary")
     return payloads.mapInPandas(decode_map, DECODE_SCHEMA).select(
-        "doc_id", "format", "width", "height", "bpp", "n_frames"
+        "doc_id", "format", "width", "height", "bpp", "n_channels",
+        "sample_rate", "n_frames"
     )
 
 
@@ -646,7 +657,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dims AS (
   SELECT doc_id, 1 + doc_id % 48 AS w, 1 + doc_id % 24 AS h
-  FROM documents WHERE doc_id % 4 = 1
+  FROM documents WHERE doc_id % 5 = 1
 ),
 xs AS (SELECT unnest(range(48)) AS x),
 ys AS (SELECT unnest(range(24)) AS y),
@@ -662,7 +673,7 @@ GROUP BY d.doc_id""",
 )
 def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode end-to-end in the driver harness: the synth
-    kernel builds a real RGB PNG per doc_id % 4 == 1 document (gradient
+    kernel builds a real RGB PNG per doc_id % 5 == 1 document (gradient
     pixels ``(3x + 7y + 11c) % 256``, scanlines filtered with all five PNG
     filter types, zlib-deflated), ships it through Arrow as binary, and
     ``pixel_stats_map`` inflates + unfilters back to raw bytes and
@@ -674,6 +685,51 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from ..multimodal import PIXEL_STATS_SCHEMA, pixel_stats_map, synth_payload_map
 
-    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 4 == 1)
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 5 == 1)
     payloads = d.mapInPandas(synth_payload_map, "doc_id bigint, payload binary")
     return payloads.mapInPandas(pixel_stats_map, PIXEL_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_audio",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, (doc_id % 7) % 2 AS v, 100 + doc_id % 50 AS frames
+  FROM documents WHERE doc_id % 5 = 0
+),
+e AS (SELECT doc_id, v, (1 + v) * frames AS n_samples FROM d),
+j AS (SELECT unnest(range(300)) AS j),
+s AS (
+  SELECT e.doc_id, e.n_samples,
+         CASE WHEN e.v = 0 THEN (5 * j.j + 3) % 256
+              ELSE ((10 * j.j + 3) % 256) + 256 * ((10 * j.j + 8) % 256)
+                   - 65536 * CASE WHEN ((10 * j.j + 3) % 256)
+                                      + 256 * ((10 * j.j + 8) % 256) >= 32768
+                             THEN 1 ELSE 0 END
+         END AS samp
+  FROM e JOIN j ON j.j < e.n_samples
+)
+SELECT doc_id,
+       CAST(max(n_samples) AS BIGINT) AS n_samples,
+       CAST(sum(samp) AS BIGINT) AS amp_sum
+FROM s
+GROUP BY doc_id""",
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL PCM audio decode end-to-end (the audio twin of
+    ``multimodal_pixels``): the synth kernel builds a real RIFF/WAVE
+    container per doc_id % 5 == 0 document whose ``data`` chunk is the
+    deterministic byte ramp ``(5k + 3) % 256``, ships it through Arrow as
+    binary, and ``audio_stats_map`` decodes the samples — 8-bit unsigned
+    for the mono variant, 16-bit signed little-endian for the stereo
+    variant — and aggregates (count, amplitude sum). The DuckDB oracle
+    reproduces both statistics from the ramp's closed form including the
+    int16 two's-complement fold, so any defect in the chunk walk, sample
+    width, signedness, or byte order hash-mismatches. Two chained narrow
+    ``mapInPandas`` stages, no shuffle — at corpus scale the decode runs
+    wherever the payload partition lives."""
+    from ..multimodal import AUDIO_STATS_SCHEMA, audio_stats_map, synth_payload_map
+
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    payloads = d.mapInPandas(synth_payload_map, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(audio_stats_map, AUDIO_STATS_SCHEMA)

@@ -682,7 +682,7 @@ class TestRealContainerParsers:
         from tesserocr_spark.queries.textops import multimodal_pixels
 
         rows = {r.doc_id: r for r in multimodal_pixels(spark, SF_DIR).collect()}
-        assert rows and all(d % 4 == 1 for d in rows)
+        assert rows and all(d % 5 == 1 for d in rows)
         for doc_id, r in rows.items():
             w, h = 1 + doc_id % 48, 1 + doc_id % 24
             assert r.n_px == w * h * 3
@@ -697,21 +697,100 @@ class TestRealContainerParsers:
 
         rows = {r.doc_id: r for r in multimodal_decode(spark, SF_DIR).collect()}
         assert rows
-        assert {r.format for r in rows.values()} == {"wav", "png", "bmp", "jpeg"}
+        assert {r.format for r in rows.values()} == {
+            "wav", "png", "bmp", "jpeg", "mp4"
+        }
         for doc_id, r in rows.items():
-            if doc_id % 4 == 0:
+            if doc_id % 5 == 0:
                 assert r.format == "wav" and r.n_frames == 100 + doc_id % 50
-                assert r.bpp == 8 + ((doc_id % 5) % 2) * 8
-            elif doc_id % 4 == 1:
+                assert r.bpp == 8 + ((doc_id % 7) % 2) * 8
+                assert r.sample_rate == 8000 + (doc_id % 7) * 1000
+            elif doc_id % 5 == 1:
                 assert r.format == "png" and r.bpp == 24
                 assert r.width == 1 + doc_id % 48 and r.height == 1 + doc_id % 24
-            elif doc_id % 4 == 2:
+            elif doc_id % 5 == 2:
                 assert r.format == "bmp" and r.bpp == 24
                 assert r.width == 1 + doc_id % 64 and r.height == 1 + doc_id % 32
-            else:
+            elif doc_id % 5 == 3:
                 assert r.format == "jpeg"
                 assert r.bpp == (8 if doc_id % 8 == 3 else 24)
                 assert r.width == 1 + doc_id % 40 and r.height == 1 + doc_id % 20
+            else:
+                assert r.format == "mp4" and r.bpp == 0
+                assert r.width == 16 + doc_id % 64 and r.height == 16 + doc_id % 48
+                assert r.n_channels == 1 + doc_id % 3
+                assert r.sample_rate == 600
+                assert r.n_frames == 600 + doc_id % 400
+
+    def test_parse_mp4_hand_built(self):
+        from tesserocr_spark.multimodal import make_mp4, parse_mp4
+
+        m = parse_mp4(make_mp4(320, 240, 600, 1234, 2))
+        assert m == {
+            "format": "mp4", "width": 320, "height": 240, "bpp": 0,
+            "n_channels": 2, "sample_rate": 600, "n_frames": 1234,
+            "n_bytes": m["n_bytes"],
+        }
+        # single-track, 64-bit-size and size==0 box edges
+        one = make_mp4(8, 4, 90000, 7)
+        assert parse_mp4(one)["n_channels"] == 1
+
+    def test_parse_mp4_rejects_malformed(self):
+        import struct
+
+        from tesserocr_spark.multimodal import make_mp4, parse_mp4
+
+        good = make_mp4(64, 32, 600, 500)
+        assert parse_mp4(good)["width"] == 64
+        assert parse_mp4(b"\x00\x00\x00\x08free") is None  # no ftyp
+        assert parse_mp4(good[8:]) is None  # ftyp not first
+        assert parse_mp4(good[:-30]) is None  # truncated into moov
+        # truncated trailing mdat is tolerated — metadata already parsed
+        assert parse_mp4(good[:-4])["format"] == "mp4"
+        # box size overrunning the buffer inside moov stops the walk
+        moov_at = good.index(b"moov") - 4
+        overrun = bytearray(good)
+        struct.pack_into(">I", overrun, moov_at, len(good) + 100)
+        assert parse_mp4(bytes(overrun)) is None
+        # mvhd with an unknown version is rejected
+        mvhd_at = good.index(b"mvhd") + 4
+        badver = bytearray(good)
+        badver[mvhd_at] = 9
+        assert parse_mp4(bytes(badver)) is None
+
+    def test_decode_wav_samples_laws(self):
+        """8-bit samples are unsigned bytes; 16-bit are signed LE — the
+        closed-form ramp laws the multimodal_audio oracle reproduces."""
+        import struct
+
+        from tesserocr_spark.multimodal import decode_wav_samples, make_wav
+
+        n8, sum8 = decode_wav_samples(make_wav(1, 8000, 8, 10))
+        assert (n8, sum8) == (10, sum((5 * k + 3) % 256 for k in range(10)))
+        n16, sum16 = decode_wav_samples(make_wav(2, 9000, 16, 7))
+        raw = bytes((5 * k + 3) % 256 for k in range(28))
+        assert (n16, sum16) == (14, sum(struct.unpack("<14h", raw)))
+        assert decode_wav_samples(b"not a wav") is None
+
+    def test_multimodal_audio_query_matches_ramp_closed_form(self, spark):
+        from tesserocr_spark.queries.textops import multimodal_audio
+
+        rows = {r.doc_id: r for r in multimodal_audio(spark, SF_DIR).collect()}
+        assert rows and all(d % 5 == 0 for d in rows)
+        # both sample widths must occur in the corpus
+        assert {(d % 7) % 2 for d in rows} == {0, 1}
+        for doc_id, r in rows.items():
+            v = (doc_id % 7) % 2
+            n = (1 + v) * (100 + doc_id % 50)
+            assert r.n_samples == n
+            if v == 0:
+                expect = sum((5 * k + 3) % 256 for k in range(n))
+            else:
+                expect = 0
+                for j in range(n):
+                    val = (10 * j + 3) % 256 + 256 * ((10 * j + 8) % 256)
+                    expect += val - 65536 * (val >= 32768)
+            assert r.amp_sum == expect, doc_id
 
 
 class TestEmbeddingDedup:
