@@ -238,7 +238,8 @@ def main() -> None:
     with open(out_path, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out_path} (merge into BENCH/BASELINE.md by hand)")
-    print(f"efficiency text={eff_text:.3f} full={eff_full:.3f}")
+    print(f"efficiency text={eff_text:.3f} full={eff_full:.3f} "
+          f"flat={eff_flat:.3f}")
 
 
 if __name__ == "__main__":
