@@ -17,6 +17,15 @@ Two decode tiers:
   Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. WAV is
   also real END-TO-END: ``decode_wav_samples`` decodes the PCM ``data``
   chunk (8-bit unsigned / 16-bit signed LE) to sample statistics.
+  GIF is real END-TO-END with the compression implemented from scratch:
+  ``parse_gif`` walks the GIF87a/89a block stream and
+  ``decode_gif_pixels`` LZW-decodes the first frame (``_lzw_decode`` /
+  ``_lzw_encode`` implement the Welch-1984 GIF variant — LSB-first
+  packing, clear/EOI codes, 9→12-bit variable code width — in pure
+  Python; no codec library involved). Binary netpbm (P4/P5/P6) is real
+  END-TO-END too: ``parse_pnm`` reads the ASCII header grammar
+  (comments included) and ``decode_pnm_pixels`` returns the 8-bit
+  raster.
   Malformed or unknown payloads fall back to the deterministic stub
   rather than raising, so a 100 TB scan never dies on one bad blob.
 * **Deterministic stub** (``_decode_one`` + ``decode_stub_map``): fake
@@ -413,15 +422,322 @@ def parse_mp4(payload: bytes) -> dict | None:
     }
 
 
+def parse_gif(payload: bytes) -> dict | None:
+    """REAL GIF parser (GIF87a/89a public layout): signature, the Logical
+    Screen Descriptor (little-endian width/height + packed Global Color
+    Table flags), then the full data-stream block walk — extensions
+    (0x21 label + length-prefixed sub-blocks), image descriptors (0x2C,
+    optional Local Color Table, LZW minimum-code-size byte, sub-blocks) —
+    terminated by the 0x3B trailer. ``n_frames`` counts image descriptors
+    (animated GIFs carry one per frame); ``bpp`` is bits per palette
+    index as declared by the GCT size field (2^(N+1) entries → N+1
+    bits)."""
+    if len(payload) < 14 or payload[:4] != b"GIF8" or payload[4:6] not in (
+        b"7a", b"9a"
+    ):
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        return None
+    off = 13
+    gct_bits = (packed & 0x07) + 1
+    if packed & 0x80:  # Global Color Table present
+        off += 3 * (1 << gct_bits)
+    n_frames = 0
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x3B:  # trailer
+            return None if n_frames == 0 else {
+                "format": "gif",
+                "width": width,
+                "height": height,
+                "bpp": gct_bits,
+                "n_channels": 1,  # palette-indexed
+                "sample_rate": 0,
+                "n_frames": n_frames,
+                "n_bytes": len(payload),
+            }
+        if b == 0x21:  # extension: label byte then sub-blocks
+            off += 2
+            off = _gif_skip_subblocks(payload, off)
+            if off is None:
+                return None
+        elif b == 0x2C:  # image descriptor
+            if off + 10 > len(payload):
+                return None
+            ipacked = payload[off + 9]
+            off += 10
+            if ipacked & 0x80:  # Local Color Table
+                off += 3 * (1 << ((ipacked & 0x07) + 1))
+            off += 1  # LZW minimum code size
+            off = _gif_skip_subblocks(payload, off)
+            if off is None:
+                return None
+            n_frames += 1
+        else:
+            return None
+    return None  # ran out of bytes before the trailer
+
+
+def _gif_skip_subblocks(payload: bytes, off: int) -> int | None:
+    """Advance past a GIF length-prefixed sub-block chain (terminated by a
+    zero-length block); None on truncation."""
+    while True:
+        if off >= len(payload):
+            return None
+        n = payload[off]
+        off += 1 + n
+        if n == 0:
+            return off if off <= len(payload) else None
+
+
+#: LZW dictionary hard cap — GIF codes never exceed 12 bits (GIF89a
+#: Appendix F); at 4096 entries both sides stop adding until a clear code.
+_LZW_MAX = 1 << 12
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF-variant LZW decode (Welch 1984 + the GIF89a packing rules):
+    codes are packed LSB-first, the table holds 2^N literals plus CLEAR
+    (2^N) and EOI (2^N+1), and the code width grows from N+1 up to 12.
+
+    Width law (derived, matching ``_lzw_encode``): the decoder may receive
+    a code equal to its own ``next_code`` (the KwKwK case), so width must
+    cover ``next_code`` itself — bump AFTER an add when
+    ``next_code == 1 << width``. The encoder only ever emits existing
+    codes (max ``next_code - 1``) — it bumps one add later, when
+    ``next_code == (1 << width) + 1``. Both rules put the first 10-bit
+    code at the same stream position. Returns None on any malformed
+    stream rather than raising."""
+    if not 2 <= min_code_size <= 11:  # GIF89a legal range (width caps at 12)
+        return None
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    literals = [bytes([i]) for i in range(clear)]
+    table = list(literals)
+    width = min_code_size + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # truncated before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(literals)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        next_code = len(table) + 2  # + CLEAR + EOI
+        if code < clear or (clear + 2 <= code < next_code):
+            entry = table[code if code < clear else code - 2]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < _LZW_MAX:
+            table.append(prev + entry[:1])
+            if next_code + 1 == 1 << width and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (greedy longest-match), the exact inverse
+    convention of ``_lzw_decode``: emit CLEAR first, add a string per
+    emitted code, bump width when ``next_code == (1 << width) + 1``, and
+    emit CLEAR + reset when the table hits 4096 entries."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for k in range(len(data)):
+        wk = w + data[k : k + 1]
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < _LZW_MAX:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full — clear and restart (decoder resets in lockstep)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = data[k : k + 1]
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> bytes | None:
+    """Full GIF pixel decode of the FIRST frame (the image twin of
+    ``decode_png_pixels``, but with the LZW codec implemented from the
+    public spec rather than delegated to stdlib zlib): walks to the first
+    image descriptor, concatenates its sub-blocks, LZW-decodes, and
+    returns height × width palette-index bytes. Non-interlaced frames
+    only; None (never an exception) on anything malformed."""
+    meta = parse_gif(payload)
+    if meta is None:
+        return None
+    off = 13
+    if payload[10] & 0x80:
+        off += 3 * (1 << ((payload[10] & 0x07) + 1))
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x21:
+            off = _gif_skip_subblocks(payload, off + 2)
+        elif b == 0x2C:
+            w, h = struct.unpack_from("<HH", payload, off + 5)
+            ipacked = payload[off + 9]
+            if ipacked & 0x40:  # interlaced — not carried
+                return None
+            off += 10
+            if ipacked & 0x80:
+                off += 3 * (1 << ((ipacked & 0x07) + 1))
+            min_code = payload[off]
+            off += 1
+            chunks = []
+            while True:
+                n = payload[off]
+                off += 1
+                if n == 0:
+                    break
+                chunks.append(payload[off : off + n])
+                off += n
+            px = _lzw_decode(b"".join(chunks), min_code)
+            if px is None or len(px) != w * h:
+                return None
+            return px
+        else:
+            return None
+    return None
+
+
+def _pnm_tokens(payload: bytes, count: int) -> tuple[list[int], int] | None:
+    """Read ``count`` whitespace-separated ASCII integers after the PNM
+    magic, honoring ``#`` comments-to-end-of-line (the public netpbm
+    header grammar). Returns (values, raster_offset) — the raster starts
+    after exactly ONE whitespace byte following the last token."""
+    vals: list[int] = []
+    off = 2
+    while len(vals) < count:
+        while off < len(payload) and payload[off : off + 1].isspace():
+            off += 1
+        if off < len(payload) and payload[off] == 0x23:  # '#'
+            while off < len(payload) and payload[off] not in (0x0A, 0x0D):
+                off += 1
+            continue
+        start = off
+        while off < len(payload) and payload[off : off + 1].isdigit():
+            off += 1
+        if off == start:
+            return None
+        vals.append(int(payload[start:off]))
+    if off >= len(payload) or not payload[off : off + 1].isspace():
+        return None
+    return vals, off + 1
+
+
+#: (header fields, bits per sample-set, channels) by PNM magic digit —
+#: P4 bit-packed bitmap, P5 8-bit graymap, P6 8-bit RGB pixmap.
+_PNM_KINDS = {0x34: (2, 1, 1), 0x35: (3, 8, 1), 0x36: (3, 8, 3)}
+
+
+def parse_pnm(payload: bytes) -> dict | None:
+    """REAL binary-netpbm parser (P4 bitmap / P5 graymap / P6 pixmap —
+    the public netpbm formats): ASCII header with comment support, then a
+    raster-size check. The 8-bit subset (maxval <= 255) is carried; wider
+    samples return None. ``bpp`` is bits per pixel (1 / 8 / 24)."""
+    if len(payload) < 4 or payload[0] != 0x50:  # 'P'
+        return None
+    kind = _PNM_KINDS.get(payload[1])
+    if kind is None:
+        return None
+    n_fields, bits, ch = kind
+    parsed = _pnm_tokens(payload, n_fields)
+    if parsed is None:
+        return None
+    vals, roff = parsed
+    width, height = vals[0], vals[1]
+    if n_fields == 3 and not (0 < vals[2] <= 255):
+        return None
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        return None
+    raster = (
+        ((width + 7) // 8) * height if bits == 1 else width * height * ch
+    )
+    if roff + raster > len(payload):
+        return None
+    return {
+        "format": "pnm",
+        "width": width,
+        "height": height,
+        "bpp": bits * ch,
+        "n_channels": ch,
+        "sample_rate": 0,
+        "n_frames": 1,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_pnm_pixels(payload: bytes) -> bytes | None:
+    """Full PNM raster decode for the 8-bit subset (P5/P6 — the raster IS
+    the pixel data, which is exactly why netpbm exists): returns height ×
+    width × channels sample bytes. P4 bit-packed rows are not expanded
+    (parse-only). None on anything malformed."""
+    meta = parse_pnm(payload)
+    if meta is None or payload[1] == 0x34:
+        return None
+    parsed = _pnm_tokens(payload, 3)
+    if parsed is None:
+        return None
+    _, roff = parsed
+    n = meta["width"] * meta["height"] * meta["n_channels"]
+    return bytes(payload[roff : roff + n])
+
+
 def decode_media(payload: bytes) -> dict:
     """Real decode with stub fallback: BMP → PNG → JPEG → WAV → MP4 →
-    deterministic stub (format='raw', stub law for width/frames, so
-    unknown blobs still yield stable, partition-independent metadata
-    instead of failing the scan). The five parsers are mutually exclusive
-    on magic bytes, so order is cosmetic."""
+    GIF → PNM → deterministic stub (format='raw', stub law for
+    width/frames, so unknown blobs still yield stable,
+    partition-independent metadata instead of failing the scan). The
+    seven parsers are mutually exclusive on magic bytes, so order is
+    cosmetic."""
     meta = (
         parse_bmp(payload) or parse_png(payload) or parse_jpeg(payload)
-        or parse_wav(payload) or parse_mp4(payload)
+        or parse_wav(payload) or parse_mp4(payload) or parse_gif(payload)
+        or parse_pnm(payload)
     )
     if meta is not None:
         return meta
@@ -627,6 +943,48 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
+    """Build a real, spec-valid GIF89a (test/synth helper — documents the
+    exact layout ``parse_gif`` / ``decode_gif_pixels`` read): Logical
+    Screen Descriptor with a 256-entry Global Color Table, a Graphic
+    Control Extension (exercises the extension-skip path), one
+    non-interlaced full-frame image descriptor, and the pixel indices
+    LZW-encoded at minimum code size 8 into 255-byte sub-blocks. Default
+    pixel content is the deterministic gradient ``(3x + 7y) % 256``."""
+    if pixels is None:
+        pixels = bytes(
+            (3 * x + 7 * y) % 256 for y in range(height) for x in range(width)
+        )
+    assert len(pixels) == width * height
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    idesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode(pixels, 8)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + gct + gce + idesc + b"\x08" + blocks
+        + b"\x00" + b"\x3b"
+    )
+
+
+def make_pnm(width: int, height: int, kind: int = 6) -> bytes:
+    """Build a valid binary netpbm file (P5 graymap or P6 pixmap, maxval
+    255) with a comment line in the header — test/synth helper documenting
+    the grammar ``parse_pnm`` reads. Pixel content is the deterministic
+    gradient ``(3x + 7y + 11c) % 256`` over the channels."""
+    ch = 3 if kind == 6 else 1
+    raster = bytes(
+        (3 * x + 7 * y + 11 * c) % 256
+        for y in range(height) for x in range(width) for c in range(ch)
+    )
+    header = f"P{kind}\n# synth\n{width} {height}\n255\n".encode()
+    return header + raster
+
+
 def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: doc_id -> deterministic real container bytes
     (WAV for doc_id % 5 == 0, filtered+deflated RGB PNG for % 5 == 1,
@@ -682,6 +1040,97 @@ def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 arr = np.frombuffer(px, dtype=np.uint8)
                 rows.append((doc_id, len(px), int(arr.sum(dtype=np.int64))))
         yield pd.DataFrame(rows, columns=["doc_id", "n_px", "pix_sum"])
+
+
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, "
+    "n_px bigint, pix_sum bigint"
+)
+
+
+def synth_gif_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id -> a real GIF89a payload
+    (``make_gif(1 + i % 32, 1 + i % 16)``, default gradient indices) —
+    the payload source for the ``multimodal_gif`` oracle query."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "payload": [
+                make_gif(1 + int(i) % 32, 1 + int(i) % 16)
+                for i in pdf["doc_id"]
+            ],
+        })
+
+
+def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> GIF header fields +
+    full-LZW-decode pixel stats via ``parse_gif`` / ``decode_gif_pixels``.
+    Non-GIF / malformed payloads report all-zero rather than failing the
+    scan — same never-dies law as ``pixel_stats_map``."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            meta = parse_gif(b)
+            px = decode_gif_pixels(b) if meta else None
+            if meta is None or px is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0))
+            else:
+                rows.append((
+                    doc_id, meta["width"], meta["height"], meta["n_frames"],
+                    len(px), sum(px),
+                ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_frames", "n_px",
+                     "pix_sum"],
+        )
+
+
+PNM_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "n_px bigint, pix_sum bigint"
+)
+
+
+def synth_pnm_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id -> a real binary netpbm payload —
+    P5 graymap for doc_id % 3 == 0 else P6 pixmap, dimensions
+    ``(1 + i % 40) × (1 + i % 20)`` — the payload source for the
+    ``multimodal_pnm`` oracle query."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "payload": [
+                make_pnm(1 + int(i) % 40, 1 + int(i) % 20,
+                         5 if int(i) % 3 == 0 else 6)
+                for i in pdf["doc_id"]
+            ],
+        })
+
+
+def pnm_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> PNM header fields +
+    full-raster pixel stats via ``parse_pnm`` / ``decode_pnm_pixels``.
+    Non-PNM / malformed payloads report all-zero — never-dies law."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            meta = parse_pnm(b)
+            px = decode_pnm_pixels(b) if meta else None
+            if meta is None or px is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0))
+            else:
+                rows.append((
+                    doc_id, meta["width"], meta["height"],
+                    meta["n_channels"], len(px), sum(px),
+                ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_channels", "n_px",
+                     "pix_sum"],
+        )
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, int] | None:

@@ -691,6 +691,86 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 32 AS w, 1 + doc_id % 16 AS h FROM documents
+),
+xs AS (SELECT unnest(range(32)) AS x),
+ys AS (SELECT unnest(range(16)) AS y)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((3 * xs.x + 7 * ys.y) % 256) AS BIGINT) AS pix_sum
+FROM dims d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h
+GROUP BY d.doc_id, d.w, d.h""",
+)
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL GIF decode end-to-end with the compression codec implemented
+    from scratch (no zlib, no codec library — the LZW variant of Welch
+    1984 / GIF89a Appendix F in pure Python): the synth kernel builds a
+    real GIF89a per document (256-entry global color table, a graphic
+    control extension, gradient palette indices ``(3x + 7y) % 256``
+    LZW-encoded at 9→12-bit variable code width into 255-byte
+    sub-blocks), ships it through Arrow as binary, and ``gif_stats_map``
+    walks the block stream back, LZW-decodes the frame, and aggregates
+    (header fields, pixel count, pixel sum). The DuckDB oracle predicts
+    everything arithmetically from doc_id — any defect in the sub-block
+    chain, the LSB-first code packing, the clear/EOI handling, or the
+    code-width growth law hash-mismatches. Two chained narrow
+    ``mapInPandas`` stages, no shuffle — at corpus scale the decode runs
+    wherever the payload partition lives (mirrors the reference's
+    image-bytes ingest surface, ``tesserocr/tesserocr.pyx:1720-1750``)."""
+    from ..multimodal import GIF_STATS_SCHEMA, gif_stats_map, synth_gif_map
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payloads = d.mapInPandas(synth_gif_map, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(gif_stats_map, GIF_STATS_SCHEMA)
+
+
+@query(
+    "multimodal_pnm",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 40 AS w, 1 + doc_id % 20 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+),
+xs AS (SELECT unnest(range(40)) AS x),
+ys AS (SELECT unnest(range(20)) AS y),
+cs AS (SELECT unnest(range(3)) AS c)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(d.ch AS INT) AS n_channels,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((3 * xs.x + 7 * ys.y + 11 * cs.c) % 256) AS BIGINT)
+           AS pix_sum
+FROM dims d
+JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h JOIN cs ON cs.c < d.ch
+GROUP BY d.doc_id, d.w, d.h, d.ch""",
+)
+def multimodal_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL binary-netpbm decode end-to-end (P5 graymap for
+    doc_id % 3 == 0, P6 RGB pixmap otherwise): the synth kernel builds a
+    real netpbm file per document — ASCII header with a comment line,
+    gradient raster ``(3x + 7y + 11c) % 256`` — and ``pnm_stats_map``
+    parses the header grammar back and aggregates the raster (header
+    fields, sample count, sample sum). The DuckDB oracle predicts both
+    statistics from the gradient's closed form, so any defect in the
+    token/comment scan, the raster offset (exactly one whitespace byte
+    after the maxval token), or channel handling hash-mismatches. Two
+    chained narrow ``mapInPandas`` stages, no shuffle."""
+    from ..multimodal import PNM_STATS_SCHEMA, pnm_stats_map, synth_pnm_map
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payloads = d.mapInPandas(synth_pnm_map, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(pnm_stats_map, PNM_STATS_SCHEMA)
+
+
+@query(
     "multimodal_audio",
     oracle="""
 WITH d AS (

@@ -239,5 +239,131 @@ class TestContainerParserProperties:
         from tesserocr_spark.multimodal import decode_media
 
         m = decode_media(blob)
-        assert m["format"] in ("bmp", "png", "wav", "raw")
+        assert m["format"] in (
+            "bmp", "png", "jpeg", "wav", "mp4", "gif", "pnm", "raw"
+        )
         assert m["n_bytes"] == len(blob)
+
+    @given(
+        w=st.integers(min_value=1, max_value=48),
+        h=st.integers(min_value=1, max_value=24),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_gif_roundtrip_and_lzw_pixel_decode(self, w, h, data):
+        """Build → parse → full LZW pixel decode: random palette indices
+        survive the from-scratch LZW encode/decode bit-exactly (the
+        gradient default is NOT used here, so the codec can't pattern-match
+        its way to a pass)."""
+        from tesserocr_spark.multimodal import (
+            decode_gif_pixels,
+            make_gif,
+            parse_gif,
+        )
+
+        seed = bytes(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(min(w * h, 64))
+        )
+        pixels = (seed * (w * h // max(1, len(seed)) + 1))[: w * h]
+        gif = make_gif(w, h, pixels)
+        m = parse_gif(gif)
+        assert m is not None
+        assert (m["width"], m["height"], m["bpp"]) == (w, h, 8)
+        assert m["n_frames"] == 1 and m["format"] == "gif"
+        assert decode_gif_pixels(gif) == pixels
+
+    @given(data=st.binary(min_size=0, max_size=3000))
+    @settings(max_examples=40, deadline=None)
+    def test_lzw_roundtrip_crosses_width_boundaries(self, data):
+        """decode(encode(x)) == x for arbitrary byte strings, including
+        ones long enough to push the code width through the 512/1024
+        boundaries and (via the repetition amplifier) the KwKwK case."""
+        from tesserocr_spark.multimodal import _lzw_decode, _lzw_encode
+
+        for stream in (data, data * 3, data[:16] * 200):
+            assert _lzw_decode(_lzw_encode(stream, 8), 8) == stream
+
+    @given(data=st.binary(min_size=1, max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_lzw_decoder_against_independent_degenerate_encoder(self, data):
+        """Cross-check the decoder against a SECOND, independently-written
+        encoder that emits CLEAR before every literal (so the table never
+        grows and every code is 9 bits): a decoder defect in packing or
+        clear handling can't cancel against the main encoder's."""
+        from tesserocr_spark.multimodal import _lzw_decode
+
+        clear, eoi, width = 256, 257, 9
+        acc = nbits = 0
+        out = bytearray()
+        for code in [c for b in data for c in (clear, b)] + [eoi]:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        assert _lzw_decode(bytes(out), 8) == data
+
+    @given(
+        w=st.integers(min_value=1, max_value=64),
+        h=st.integers(min_value=1, max_value=32),
+        kind=st.sampled_from([5, 6]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pnm_roundtrip_and_raster_decode(self, w, h, kind):
+        from tesserocr_spark.multimodal import (
+            decode_pnm_pixels,
+            make_pnm,
+            parse_pnm,
+        )
+
+        ch = 3 if kind == 6 else 1
+        pnm = make_pnm(w, h, kind)
+        m = parse_pnm(pnm)
+        assert m is not None
+        assert (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
+        assert m["bpp"] == 8 * ch and m["format"] == "pnm"
+        px = decode_pnm_pixels(pnm)
+        assert px == bytes(
+            (3 * x + 7 * y + 11 * c) % 256
+            for y in range(h) for x in range(w) for c in range(ch)
+        )
+
+    def test_pnm_header_grammar_edges(self):
+        """Comments between any tokens, CR/LF/tab/space separators, a
+        comment character inside the raster, P4 parse-only, maxval gate."""
+        from tesserocr_spark.multimodal import (
+            decode_pnm_pixels,
+            parse_pnm,
+        )
+
+        m = parse_pnm(b"P5 #c\n\t2\r\n# x y\n 3\n255\n" + bytes(6))
+        assert m and (m["width"], m["height"]) == (2, 3)
+        # raster may legitimately start with '#' — only ONE whitespace byte
+        # after maxval is header
+        m = parse_pnm(b"P5\n1 1\n255\n" + b"#")
+        assert m and decode_pnm_pixels(b"P5\n1 1\n255\n" + b"#") == b"#"
+        m4 = parse_pnm(b"P4\n9 2\n" + bytes(4))
+        assert m4 and m4["bpp"] == 1 and m4["n_channels"] == 1
+        assert decode_pnm_pixels(b"P4\n9 2\n" + bytes(4)) is None
+        assert parse_pnm(b"P5\n1 1\n65535\n" + bytes(2)) is None  # 16-bit
+        assert parse_pnm(b"P5\n1 1\n255\n") is None  # raster truncated
+        assert parse_pnm(b"P7\n1 1\n255\n" + bytes(3)) is None  # PAM
+
+    @given(flip=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=60, deadline=None)
+    def test_gif_single_bitflip_never_crashes(self, flip):
+        """Corrupt one bit anywhere in a valid GIF (header, color table,
+        LZW stream alike): parse/decode must reject or succeed, never
+        raise — the never-dies law under the codec tier too."""
+        from tesserocr_spark.multimodal import decode_gif_pixels, decode_media, make_gif
+
+        gif = bytearray(make_gif(17, 9))
+        idx = flip % len(gif)
+        gif[idx] ^= 1 << (flip % 8)
+        decode_media(bytes(gif))  # must not raise
+        px = decode_gif_pixels(bytes(gif))
+        assert px is None or len(px) == 17 * 9
