@@ -28,12 +28,19 @@ Two decode tiers:
   raster.
   Malformed or unknown payloads fall back to the deterministic stub
   rather than raising, so a 100 TB scan never dies on one bad blob.
+  Baseline-sequential grayscale JPEG is real END-TO-END as well, both
+  directions from the ITU T.81 spec: ``make_jpeg_baseline`` (forward
+  DCT, quantization, zigzag, Huffman with DHT-self-described tables,
+  byte stuffing) and ``decode_jpeg_pixels`` (marker walk, Annex C
+  canonical code reconstruction, DC EXTEND, AC run-length, dequantize,
+  2D IDCT).
 * **Deterministic stub** (``_decode_one`` + ``decode_stub_map``): fake
   metadata as a pure function of the bytes, kept for payloads with no
   parseable container (and frozen by the ``multimodal_stub`` oracle law).
-  JPEG *pixel* decode (DCT/Huffman) and MP4 *frame* decode still need
-  PIL/ffmpeg and stay stubbed in ``resize_stub_map`` — MP4 *metadata*
-  (dimensions, timescale, duration, track count) is real.
+  Color/progressive JPEG and MP4 *frame* decode remain out of subset
+  (``decode_jpeg_pixels`` returns None; ``resize_stub_map`` stays a
+  stub) — MP4 *metadata* (dimensions, timescale, duration, track count)
+  is real.
 
 NULL-payload law (ADVICE r04): a missing payload is NOT the same thing as
 a zero-byte blob — ``decode_map`` emits ``format = NULL`` (all numeric
@@ -644,6 +651,341 @@ def decode_gif_pixels(payload: bytes) -> bytes | None:
     return None
 
 
+#: JPEG zigzag scan order (ITU T.81 Figure 5): anti-diagonals s = row+col,
+#: even diagonals walked row-descending, odd row-ascending.
+_JPEG_ZIGZAG = [
+    (r, s - r)
+    for s in range(15)
+    for r in (
+        range(min(7, s), max(0, s - 7) - 1, -1) if s % 2 == 0
+        else range(max(0, s - 7), min(7, s) + 1)
+    )
+]
+
+#: Annex K.3.1 luminance DC Huffman spec (the standard table): BITS by
+#: code length 1..16, then the category symbols in assignment order.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+#: Our AC table: all 162 baseline AC symbols at a uniform 8-bit code
+#: length (Kraft 162/256 <= 1, no all-ones code). JPEG files carry their
+#: Huffman tables in DHT, so ANY valid table is spec-conforming — the
+#: decoder below reads whatever DHT declares, Annex K or not.
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [
+    (r << 4) | s for r in range(16) for s in range(11)
+    if (r, s) != (0, 0) and (s != 0 or r in (0, 15)) and s <= 10
+]
+_JPEG_AC_VALS = sorted({0x00, 0xF0} | set(_JPEG_AC_VALS))
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex C canonical code generation: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_M = None
+
+
+def _dct_matrix():
+    """8x8 DCT-II basis M[u,x] = C(u)/2 * cos((2x+1)uπ/16) so that
+    FDCT = M @ block @ M.T and IDCT = M.T @ coeff @ M (ITU T.81 A.3.3)."""
+    global _DCT_M
+    if _DCT_M is None:
+        import math
+
+        import numpy as np
+
+        _DCT_M = np.array([
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ])
+    return _DCT_M
+
+
+class _JpegBitWriter:
+    """MSB-first entropy bitstream with 0xFF -> 0xFF 0x00 byte stuffing
+    (ITU T.81 B.1.1.5); flush pads with 1-bits."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0xFF, 8 - self.nbits)  # pad with 1s to byte boundary
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy-coded segment, undoing byte
+    stuffing; raises ValueError on a real marker or exhaustion."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy stream")
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
+        self.nbits -= width
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.take(1)
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _dc_magnitude(v: int) -> tuple[int, int]:
+    """(category SSSS, additional bits) for a DC diff / AC coefficient
+    (ITU T.81 F.1.2.1.1: negative values are stored one's-complemented)."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _extend(value: int, t: int) -> int:
+    """Inverse of _dc_magnitude (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return value if value >= 1 << (t - 1) else value - (1 << t) + 1
+
+
+def make_jpeg_baseline(
+    width: int, height: int, pixels: bytes, quant: int = 8
+) -> bytes:
+    """REAL baseline-sequential grayscale JPEG encoder (ITU T.81): level
+    shift, forward 8x8 DCT, flat quantization, zigzag, Huffman entropy
+    coding (DC = Annex K luminance table, AC = a uniform 8-bit table —
+    both self-described in DHT, as the spec requires), 0xFF byte
+    stuffing. Partial edge blocks are padded by edge replication. With
+    per-block-constant pixels and ``quant`` dividing 8, the encode is
+    lossless (DC-only blocks) — the law the ``multimodal_jpeg`` oracle
+    exploits; arbitrary content round-trips within quantization error."""
+    import numpy as np
+
+    assert len(pixels) == width * height
+    M = _dct_matrix()
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = img[by : by + 8, bx : bx + 8]
+            if block.shape != (8, 8):  # edge replication padding
+                block = np.pad(
+                    block,
+                    ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
+                    mode="edge",
+                )
+            coeff = M @ (block.astype(np.float64) - 128.0) @ M.T
+            q = np.rint(coeff / quant).astype(np.int64)
+            diff = int(q[0, 0]) - prev_dc
+            prev_dc = int(q[0, 0])
+            t, extra = _dc_magnitude(diff)
+            code, length = dc_codes[t]
+            w.put(code, length)
+            if t:
+                w.put(extra, t)
+            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG[1:]]
+            run = 0
+            for v in zz:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                    w.put(zc, zl)
+                    run -= 16
+                t, extra = _dc_magnitude(v)
+                ac, al = ac_codes[(run << 4) | t]
+                w.put(ac, al)
+                w.put(extra, t)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]  # EOB
+                w.put(ec, el)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(body)) + body
+
+    qt = bytes([quant]) * 64
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0x00]) + qt)
+        + seg(0xC4, dht)
+        + seg(0xC0, sof)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_pixels(payload: bytes) -> bytes | None:
+    """FULL baseline-sequential JPEG pixel decode for the grayscale
+    subset, from the public spec (ITU T.81) with no codec library: walks
+    the marker segments collecting DQT (8-bit precision) and DHT tables
+    (whatever tables the FILE declares — Annex C canonical generation,
+    not hardcoded Annex K), requires SOF0 / precision 8 / one component,
+    Huffman-decodes each 8x8 block (DC diff + EXTEND, AC run-length, ZRL,
+    EOB), dequantizes, de-zigzags, applies the real 2D IDCT, clamps, and
+    crops edge blocks to the image. Progressive (SOF2), multi-component,
+    and restart-marker streams return None — as does anything malformed
+    (never raises on corpus data)."""
+    import numpy as np
+
+    meta = parse_jpeg(payload)
+    if meta is None or meta["n_channels"] != 1 or meta["bpp"] != 8:
+        return None
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof_marker = comp_q = None
+    dc_id = ac_id = None
+    off = 2
+    try:
+        while True:
+            if payload[off] != 0xFF:
+                return None
+            marker = payload[off + 1]
+            if marker == 0xFF:
+                off += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                off += 2
+                continue
+            seglen = struct.unpack_from(">H", payload, off + 2)[0]
+            body = payload[off + 4 : off + 2 + seglen]
+            if marker == 0xDB:  # DQT — possibly several tables per segment
+                p = 0
+                while p < len(body):
+                    if body[p] >> 4 != 0:  # 16-bit precision — not baseline
+                        return None
+                    qtables[body[p] & 0x0F] = list(body[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xC4:  # DHT — possibly several tables
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = list(body[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + n])
+                    htables[(tc, th)] = {
+                        (c, ln): sym
+                        for sym, (c, ln) in _huff_codes(bits, vals).items()
+                    }
+                    p += 17 + n
+            elif marker in _JPEG_SOF:
+                if marker != 0xC0:  # progressive/extended — not carried
+                    return None
+                sof_marker = marker
+                comp_q = body[8]  # 0:precision 1-2:h 3-4:w 5:Nf 6:id 7:sampling 8:Tq
+            elif marker == 0xDD:  # DRI restart interval — not carried
+                if struct.unpack_from(">H", body, 0)[0] != 0:
+                    return None
+            elif marker == 0xDA:
+                dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+                off += 2 + seglen
+                break
+            off += 2 + seglen
+        if sof_marker is None or comp_q not in qtables:
+            return None
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            return None
+        qt = qtables[comp_q]
+        w, h = meta["width"], meta["height"]
+        M = _dct_matrix()
+        img = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.uint8)
+        reader = _JpegBitReader(payload[off : len(payload) - 2])
+        prev_dc = 0
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                t = reader.read_symbol(dc_tab)
+                if t > 11:
+                    return None
+                prev_dc += _extend(reader.take(t), t)
+                zz = [0] * 64
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:  # only ZRL has size 0
+                            return None
+                        k += 16
+                        continue
+                    k += run
+                    if k >= 64:
+                        return None
+                    zz[k] = _extend(reader.take(size), size)
+                    k += 1
+                coeff = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    coeff[r, c] = zz[i] * qt[i]
+                block = M.T @ coeff @ M + 128.0
+                img[by : by + 8, bx : bx + 8] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+        return img[:h, :w].tobytes()
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
 def _pnm_tokens(payload: bytes, count: int) -> tuple[list[int], int] | None:
     """Read ``count`` whitespace-separated ASCII integers after the PNM
     magic, honoring ``#`` comments-to-end-of-line (the public netpbm
@@ -1083,6 +1425,60 @@ def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "width", "height", "n_frames", "n_px",
+                     "pix_sum"],
+        )
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "n_px bigint, pix_sum bigint"
+)
+
+
+def synth_jpeg_full_map(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id -> a real baseline grayscale JPEG
+    (``make_jpeg_baseline``) of ``(1 + i % 48) × (1 + i % 24)`` whose
+    pixels are constant per 8x8 block, value ``(5*bx + 9*by + i) % 256``
+    — DC-only blocks survive DCT + flat-8 quantization bit-exactly, which
+    is what gives the ``multimodal_jpeg`` oracle a closed form."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            w, h = 1 + i % 48, 1 + i % 24
+            px = bytes(
+                (5 * (x // 8) + 9 * (y // 8) + i) % 256
+                for y in range(h) for x in range(w)
+            )
+            payloads.append(make_jpeg_baseline(w, h, px))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "payload": payloads}
+        )
+
+
+def jpeg_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> JPEG header fields
+    + full-pixel-decode stats via ``parse_jpeg`` / ``decode_jpeg_pixels``
+    (Huffman + dequant + IDCT). Non-JPEG / out-of-subset payloads report
+    all-zero — never-dies law."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            meta = parse_jpeg(b)
+            px = decode_jpeg_pixels(b) if meta else None
+            if meta is None or px is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0))
+            else:
+                rows.append((
+                    doc_id, meta["width"], meta["height"],
+                    meta["n_channels"], len(px), sum(px),
+                ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_channels", "n_px",
                      "pix_sum"],
         )
 

@@ -731,6 +731,55 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 48 AS w, 1 + doc_id % 24 AS h FROM documents
+),
+bxs AS (SELECT unnest(range(6)) AS i),
+bys AS (SELECT unnest(range(3)) AS j)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(1 AS INT) AS n_channels,
+       CAST(d.w * d.h AS BIGINT) AS n_px,
+       CAST(sum(((5 * bxs.i + 9 * bys.j + d.doc_id) % 256)
+                * LEAST(8, d.w - 8 * bxs.i)
+                * LEAST(8, d.h - 8 * bys.j)) AS BIGINT) AS pix_sum
+FROM dims d
+JOIN bxs ON bxs.i * 8 < d.w JOIN bys ON bys.j * 8 < d.h
+GROUP BY d.doc_id, d.w, d.h""",
+)
+def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL baseline JPEG decode end-to-end from the public spec (ITU
+    T.81) with no codec library: the synth kernel encodes a real
+    grayscale JPEG per document — forward DCT, flat-8 quantization,
+    zigzag, Huffman entropy coding with the tables self-described in DHT,
+    0xFF byte stuffing — and ``jpeg_stats_map`` decodes it back (marker
+    walk, DHT canonical-code reconstruction, DC-diff EXTEND, AC
+    run-length/ZRL/EOB, dequantize, de-zigzag, 2D IDCT, edge-block crop)
+    and aggregates. The synth pixels are constant per 8x8 block
+    (``(5*bx + 9*by + doc_id) % 256``) so the lossy transform is exactly
+    lossless (DC-only blocks, quantizer divides the DC scale) and the
+    DuckDB oracle predicts the pixel sum in closed form over the block
+    grid — any defect in either direction of the entropy coder, the
+    quantization, or the IDCT hash-mismatches. General (non-DC-only)
+    content is covered by tolerance property tests. Two chained narrow
+    ``mapInPandas`` stages, no shuffle."""
+    from ..multimodal import (
+        JPEG_STATS_SCHEMA,
+        jpeg_stats_map,
+        synth_jpeg_full_map,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payloads = d.mapInPandas(
+        synth_jpeg_full_map, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(jpeg_stats_map, JPEG_STATS_SCHEMA)
+
+
+@query(
     "multimodal_pnm",
     oracle="""
 WITH dims AS (

@@ -353,6 +353,89 @@ class TestContainerParserProperties:
         assert parse_pnm(b"P5\n1 1\n255\n") is None  # raster truncated
         assert parse_pnm(b"P7\n1 1\n255\n" + bytes(3)) is None  # PAM
 
+    @given(
+        w=st.integers(min_value=1, max_value=48),
+        h=st.integers(min_value=1, max_value=24),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_dc_only_roundtrip_is_exact(self, w, h, data):
+        """Per-8x8-block-constant pixels survive the full DCT → flat-8
+        quantize → Huffman → decode chain BIT-EXACTLY (DC-only blocks,
+        quantizer divides the DC scale) — the law the multimodal_jpeg
+        oracle relies on; random block values, partial edge blocks
+        included."""
+        from tesserocr_spark.multimodal import (
+            decode_jpeg_pixels,
+            make_jpeg_baseline,
+            parse_jpeg,
+        )
+
+        nbx, nby = -(-w // 8), -(-h // 8)
+        blocks = [
+            [data.draw(st.integers(min_value=0, max_value=255))
+             for _ in range(nbx)]
+            for _ in range(nby)
+        ]
+        px = bytes(
+            blocks[y // 8][x // 8] for y in range(h) for x in range(w)
+        )
+        j = make_jpeg_baseline(w, h, px)
+        m = parse_jpeg(j)
+        assert m and (m["width"], m["height"], m["n_channels"]) == (w, h, 1)
+        assert decode_jpeg_pixels(j) == px
+
+    @given(
+        w=st.integers(min_value=1, max_value=32),
+        h=st.integers(min_value=1, max_value=24),
+        data=st.data(),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_jpeg_arbitrary_content_within_quantization_error(self, w, h, data):
+        """Arbitrary pixel content round-trips within the flat-8
+        quantizer's error envelope — each of 64 coefficients may be off
+        by q/2=4 and errors can align across the IDCT basis on structured
+        (tiled) content, so the per-pixel cap is loose (24) while the
+        mean must stay tight (<= 4; random garbage would give ~85). The
+        decoder's Huffman / dequant / IDCT path is exercised with dense
+        AC coefficients."""
+        from tesserocr_spark.multimodal import (
+            decode_jpeg_pixels,
+            make_jpeg_baseline,
+        )
+
+        seed = bytes(
+            data.draw(st.integers(min_value=0, max_value=255))
+            for _ in range(min(w * h, 64))
+        )
+        px = (seed * (w * h // max(1, len(seed)) + 1))[: w * h]
+        out = decode_jpeg_pixels(make_jpeg_baseline(w, h, px))
+        assert out is not None and len(out) == w * h
+        errs = [abs(a - b) for a, b in zip(px, out)]
+        assert max(errs) <= 24
+        assert sum(errs) / len(errs) <= 4
+
+    @given(flip=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=60, deadline=None)
+    def test_jpeg_single_bitflip_never_crashes(self, flip):
+        """Corrupt one bit anywhere in a real baseline JPEG (tables,
+        marker lengths, entropy stream alike): decode must reject or
+        return a same-geometry frame, never raise."""
+        from tesserocr_spark.multimodal import (
+            decode_jpeg_pixels,
+            decode_media,
+            make_jpeg_baseline,
+        )
+
+        px = bytes((5 * (x // 8) + 9 * (y // 8)) % 256
+                   for y in range(10) for x in range(19))
+        j = bytearray(make_jpeg_baseline(19, 10, px))
+        idx = flip % len(j)
+        j[idx] ^= 1 << (flip % 8)
+        decode_media(bytes(j))  # must not raise
+        out = decode_jpeg_pixels(bytes(j))
+        assert out is None or len(out) == 19 * 10
+
     @given(flip=st.integers(min_value=0, max_value=10**6))
     @settings(max_examples=60, deadline=None)
     def test_gif_single_bitflip_never_crashes(self, flip):
