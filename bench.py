@@ -27,6 +27,8 @@ BENCH_QUERIES = (
     "dedup_campaign_keep_lsh", # since r04
     "multimodal_decode",       # since r04
     "multimodal_pixels",       # since r05 (full PNG pixel decode)
+    "multimodal_gif",          # since r05 (from-scratch LZW decode)
+    "multimodal_jpeg",         # since r05 (baseline JPEG codec both ways)
     "dedup_substrings",        # since r05 (Lee et al. ExactSubstr scan)
     "ann_bruteforce_topk",
     "q1_flagship_agg",
@@ -134,11 +136,13 @@ def main() -> None:
         ),
     )
     # r04 added dedup_simhash64 / dedup_campaign_keep_lsh / multimodal_decode
-    # and r05 added multimodal_pixels + dedup_substrings to the timed set —
-    # bench_total is NOT comparable across those rounds without subtracting
-    # them (note in BENCH/BASELINE.md); per-query timings stay comparable.
+    # and r05 added multimodal_pixels/_gif/_jpeg + dedup_substrings to the
+    # timed set — bench_total is NOT comparable across those rounds without
+    # subtracting them (note in BENCH/BASELINE.md); per-query timings stay
+    # comparable.
     for q in ("dedup_minhash_lsh", "dedup_simhash64", "dedup_campaign_keep_lsh",
-              "multimodal_decode", "multimodal_pixels", "dedup_substrings",
+              "multimodal_decode", "multimodal_pixels", "multimodal_gif",
+              "multimodal_jpeg", "dedup_substrings",
               "ann_bruteforce_topk", "q1_flagship_agg", "revenue_by_nation"):
         timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
 
