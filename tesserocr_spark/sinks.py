@@ -286,16 +286,123 @@ def _pdf_expression():
     return F.encode(full, "ISO-8859-1")
 
 
+#: page raster geometry for the PDF image underlay: 612x792pt MediaBox at
+#: quarter scale. Block-constant content keeps the embedded JPEG bit-exact
+#: through the baseline codec (DC-only blocks — see multimodal.py).
+PDF_IMAGE_W, PDF_IMAGE_H = 153, 198
+
+
+def _page_raster(extracted_text: str) -> bytes:
+    """Deterministic content-derived grayscale 'scan' of the page: the
+    graft has no source raster (pages are born as text), so the underlay
+    image is a pure function of the extracted text — value of 8x8 block k
+    is ``(text_byte[k mod len] + 3k) mod 256`` — keeping every output
+    byte content-derived and partition-independent (the repo-wide law)."""
+    b = (extracted_text or "").encode("utf-8")
+    nbx = -(-PDF_IMAGE_W // 8)
+    row_vals = []
+    for by in range(-(-PDF_IMAGE_H // 8)):
+        vals = []
+        for bx in range(nbx):
+            k = by * nbx + bx
+            vals.append(((b[k % len(b)] if b else 0) + 3 * k) % 256)
+        row_vals.append(vals)
+    px = bytearray(PDF_IMAGE_W * PDF_IMAGE_H)
+    for y in range(PDF_IMAGE_H):
+        base = y * PDF_IMAGE_W
+        vals = row_vals[y // 8]
+        for x in range(PDF_IMAGE_W):
+            px[base + x] = vals[x // 8]
+    return bytes(px)
+
+
+def pdf_bytes_image(url: str, extracted_text: str) -> bytes:
+    """TessPDFRenderer analogue, image-underlay mode (textonly_pdf=0,
+    tesserocr/tesserocr.pyx:2214-2224): the page raster is embedded as a
+    REAL baseline JPEG (our own ITU T.81 encoder,
+    multimodal.make_jpeg_baseline) in a ``/DCTDecode`` image XObject
+    drawn across the full MediaBox, with the extracted text overlaid in
+    invisible render mode (``3 Tr``) — exactly the searchable-scan
+    structure Tesseract's PDF renderer produces. The raster is
+    block-constant (``_page_raster``), so the embedded JPEG decodes back
+    bit-exactly with ``decode_jpeg_pixels`` — the round-trip is locked by
+    test. Binary-safe assembly: the header carries the high-bit marker
+    comment and all xref offsets are byte-accurate. Text escaping reuses
+    core.fold's ``_pdf_escape`` so both PDF modes share one literal
+    law."""
+    from .core.fold import _pdf_escape
+    from .multimodal import make_jpeg_baseline
+
+    jpeg = make_jpeg_baseline(
+        PDF_IMAGE_W, PDF_IMAGE_H, _page_raster(extracted_text)
+    )
+    lines = (extracted_text or "").split("\n")
+    ops = [
+        "q", "612 0 0 792 0 0 cm", "/Im1 Do", "Q",
+        "BT", "3 Tr", "/F1 10 Tf", "12 TL", "1 0 0 1 36 756 Tm",
+    ]
+    for line in lines:
+        ops.append(f"({_pdf_escape(line)}) Tj T*")
+    ops.append("ET")
+    stream = "\n".join(ops).encode("latin-1")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+        b"/XObject << /Im1 6 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Image /Width "
+        + str(PDF_IMAGE_W).encode() + b" /Height "
+        + str(PDF_IMAGE_H).encode()
+        + b" /ColorSpace /DeviceGray /BitsPerComponent 8 "
+        b"/Filter /DCTDecode /Length " + str(len(jpeg)).encode()
+        + b" >>\nstream\n" + jpeg + b"\nendstream",
+    ]
+    # %\xe2\xe3\xcf\xd3: the conventional binary-content marker comment
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def pdf_sink(docs: DataFrame, textonly: bool = True) -> DataFrame:
     """TessPDFRenderer (tesserocr/tesserocr.pyx:2214-2224) per document:
-    (url, pdf:binary), pure Catalyst expression (core.fold.pdf_bytes is the
-    byte-law twin). Only the textonly_pdf mode is carried — the
-    image-underlay mode needs a raster codec absent from this environment
-    and is stubbed per the multimodal convention (multimodal.py)."""
+    (url, pdf:binary). Text-only mode is a pure Catalyst expression
+    (core.fold.pdf_bytes is the byte-law twin). Image-underlay mode
+    (textonly_pdf=0) embeds a content-derived page raster as a REAL
+    baseline JPEG — encoded by our own ITU T.81 codec
+    (multimodal.make_jpeg_baseline) — in a /DCTDecode XObject with the
+    text overlaid invisibly (3 Tr), the searchable-scan structure the
+    reference renderer emits; JPEG encoding is not expressible in
+    Catalyst, so that path is an Arrow-batched pandas_udf over
+    ``pdf_bytes_image``."""
     if not textonly:
-        raise NotImplementedError(
-            "textonly_pdf=0 (image underlay) requires an image codec; "
-            "only the text-only PDF path is implemented")
+        import pandas as pd
+
+        # no type hints: sinks.py uses postponed annotations, which the
+        # pandas_udf hint-resolver can't evaluate for a closure-local pd
+        def _pdf_img_fn(urls, texts):
+            return pd.Series([
+                pdf_bytes_image(u, t if t is not None else "")
+                for u, t in zip(urls, texts)
+            ])
+
+        _pdf_img = F.pandas_udf(_pdf_img_fn, "binary")
+        return docs.select(
+            "url", _pdf_img("url", "extracted_text").alias("pdf")
+        )
     return docs.select("url", _pdf_expression().alias("pdf"))
 
 

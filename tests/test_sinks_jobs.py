@@ -187,8 +187,6 @@ class TestSinks:
             assert "Script: \n" in r.osd
 
     def test_pdf_sink_textonly(self, spark):
-        import pytest
-
         docs = _docs(spark, 5)
         rows = pdf_sink(docs).collect()
         assert all(bytes(r.pdf).startswith(b"%PDF-1.4") for r in rows)
@@ -196,8 +194,68 @@ class TestSinks:
         # deterministic: same doc -> same bytes
         again = {r.url: bytes(r.pdf) for r in pdf_sink(docs).collect()}
         assert all(bytes(r.pdf) == again[r.url] for r in rows)
-        with pytest.raises(NotImplementedError):
-            pdf_sink(docs, textonly=False)
+
+    @staticmethod
+    def _check_pdf_structure(pdf: bytes, n_objs: int) -> None:
+        """xref offsets byte-accurate, startxref points at the xref table."""
+        import re
+
+        for m in re.finditer(rb"(\d{10}) 00000 n \n", pdf):
+            pass
+        offsets = [int(m) for m in re.findall(rb"(\d{10}) 00000 n \n", pdf)]
+        assert len(offsets) == n_objs
+        for i, off in enumerate(offsets, start=1):
+            assert pdf[off:].startswith(f"{i} 0 obj\n".encode()), i
+        xref_at = int(re.search(rb"startxref\n(\d+)\n", pdf).group(1))
+        assert pdf[xref_at:].startswith(b"xref\n")
+
+    def test_pdf_image_underlay_embeds_real_jpeg(self, spark):
+        """textonly_pdf=0: the underlay is a REAL baseline JPEG (our ITU
+        T.81 encoder) in a /DCTDecode XObject — decode it back with our
+        own decoder and it must equal the content-derived page raster
+        bit-exactly; the text layer is present and invisible (3 Tr)."""
+        import re
+
+        from tesserocr_spark.sinks import (
+            PDF_IMAGE_H,
+            PDF_IMAGE_W,
+            _page_raster,
+            pdf_bytes_image,
+        )
+        from tesserocr_spark.multimodal import decode_jpeg_pixels, parse_jpeg
+
+        for text in ("hello\nworld", "", "par(en)s \\ slash", "é…　cjk 漢"):
+            pdf = pdf_bytes_image("u", text)
+            assert pdf.startswith(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+            self._check_pdf_structure(pdf, 6)
+            m = re.search(
+                rb"/Filter /DCTDecode /Length (\d+) >>\nstream\n", pdf
+            )
+            assert m is not None
+            jpeg = pdf[m.end() : m.end() + int(m.group(1))]
+            meta = parse_jpeg(jpeg)
+            assert meta and (meta["width"], meta["height"]) == (
+                PDF_IMAGE_W, PDF_IMAGE_H,
+            )
+            assert decode_jpeg_pixels(jpeg) == _page_raster(text)
+            assert b"3 Tr" in pdf  # invisible text render mode
+            assert b"/Im1 Do" in pdf
+
+    def test_pdf_image_sink_matches_python_builder(self, spark):
+        from tesserocr_spark.core.extractor import Extractor
+        from tesserocr_spark.sinks import pdf_bytes_image
+        from tesserocr_spark.pages import make_page
+
+        docs = _docs(spark, 12)
+        got = {
+            r.url: bytes(r.pdf)
+            for r in pdf_sink(docs, textonly=False).collect()
+        }
+        ex = Extractor()
+        for i in range(12):
+            url, _ts, html, _t, _l = make_page(i)
+            assert got[url] == pdf_bytes_image(url, ex.extract(html).text), \
+                f"image-PDF mismatch page {i}"
 
     def test_pdf_expression_matches_python_serializer(self, spark):
         # expression PDF sink == core.fold.pdf_bytes, byte for byte — the
