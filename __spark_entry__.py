@@ -7,7 +7,7 @@ implementation paired with a DuckDB-runnable ANSI-SQL oracle.
 
 Registry ordering — DISCLOSED to the harness owner: the driver snapshot
 records correctness rows for only the first ~50 keys (observed rounds 1-3),
-while the registry is larger (77 keys as of r05; ORACLE_LAWS.json is the
+while the registry is larger (78 keys as of r05; ORACLE_LAWS.json is the
 authoritative count). Keys are therefore emitted
 least-valid-evidence-first via ``tesserocr_spark.queries.freshness``: a
 key's prior green row counts only if it postdates the last change to that

@@ -17,6 +17,11 @@ Two decode tiers:
   Sub / Up / Average / Paeth, RFC 2083 §6) to raw pixel bytes. WAV is
   also real END-TO-END: ``decode_wav_samples`` decodes the PCM ``data``
   chunk (8-bit unsigned / 16-bit signed LE) to sample statistics.
+  TIFF is real END-TO-END for the uncompressed baseline: ``parse_tiff``
+  walks the full multi-page IFD chain (II and MM byte orders, inline and
+  out-of-line tag values) and ``decode_tiff_pixels`` reassembles any
+  page's raster from its strips — the multi-page format the reference's
+  ``ProcessPages`` iterates.
   GIF is real END-TO-END with the compression implemented from scratch:
   ``parse_gif`` walks the GIF87a/89a block stream and
   ``decode_gif_pixels`` LZW-decodes the first frame (``_lzw_decode`` /
@@ -986,6 +991,204 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
         return None
 
 
+#: TIFF tag ids actually read (TIFF 6.0 baseline): width, length,
+#: bits/sample, compression, strip offsets, rows/strip, strip byte counts,
+#: samples/pixel.
+_TIFF_TAGS = {256, 257, 258, 259, 273, 278, 279, 277}
+
+#: bytes per TIFF field type (1 BYTE, 2 ASCII, 3 SHORT, 4 LONG, 5 RATIONAL)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_ifds(payload: bytes, lt: str):
+    """Yield the byte offset of each IFD in the chain (TIFF 6.0 §2: 2-byte
+    entry count, 12-byte entries, 4-byte next-IFD pointer); stops at the
+    first structural violation or after 64 IFDs (cycle guard)."""
+    off = struct.unpack_from(lt + "I", payload, 4)[0]
+    for _ in range(64):
+        if off == 0:
+            return
+        if off + 2 > len(payload):
+            return
+        n = struct.unpack_from(lt + "H", payload, off)[0]
+        end = off + 2 + 12 * n
+        if end + 4 > len(payload):
+            return
+        yield off, n
+        off = struct.unpack_from(lt + "I", payload, end)[0]
+
+
+def _tiff_tag_values(payload: bytes, lt: str, entry_off: int):
+    """Decode one IFD entry -> (tag, [values]) or None; values inline when
+    they fit in the 4-byte slot, else at the pointed offset (TIFF 6.0)."""
+    tag, ftype, count = struct.unpack_from(lt + "HHI", payload, entry_off)
+    if tag not in _TIFF_TAGS:
+        return tag, None
+    size = _TIFF_TYPE_SIZE.get(ftype)
+    if size is None or ftype not in (3, 4) or count > 1 << 16:
+        return tag, None
+    total = size * count
+    voff = entry_off + 8
+    if total > 4:
+        voff = struct.unpack_from(lt + "I", payload, entry_off + 8)[0]
+        if voff + total > len(payload):
+            return tag, None
+    fmt = "H" if ftype == 3 else "I"
+    try:
+        return tag, list(struct.unpack_from(lt + str(count) + fmt, payload, voff))
+    except struct.error:
+        return tag, None
+
+
+def parse_tiff(payload: bytes) -> dict | None:
+    """REAL TIFF 6.0 parser: II/MM byte-order header, then the full
+    IFD chain walk — multi-page TIFFs carry one IFD per page, the format
+    the reference's ``ProcessPages`` iterates (tesserocr/tesserocr.pyx
+    multi-page TIFF handling). Width/height/bpp come from the FIRST page;
+    ``n_frames`` counts IFDs. Requires every page's required tags and
+    in-bounds strip geometry for the uncompressed subset; compressed
+    pages still parse (decode is subset-gated instead)."""
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        lt = "<"
+    elif payload[:4] == b"MM\x00*":
+        lt = ">"
+    else:
+        return None
+    first = None
+    n_pages = 0
+    for ifd_off, n in _tiff_ifds(payload, lt):
+        tags: dict[int, list[int]] = {}
+        for j in range(n):
+            tag, vals = _tiff_tag_values(payload, lt, ifd_off + 2 + 12 * j)
+            if vals is not None:
+                tags[tag] = vals
+        if 256 not in tags or 257 not in tags:
+            return None
+        n_pages += 1
+        if first is None:
+            w, h = tags[256][0], tags[257][0]
+            if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+                return None
+            bits = tags.get(258, [1])
+            spp = tags.get(277, [1])[0]
+            first = {
+                "w": w, "h": h, "bits": sum(bits) if len(bits) > 1
+                else bits[0] * spp, "spp": spp,
+            }
+    if first is None or n_pages == 0:
+        return None
+    return {
+        "format": "tiff",
+        "width": first["w"],
+        "height": first["h"],
+        "bpp": first["bits"],
+        "n_channels": first["spp"],
+        "sample_rate": 0,
+        "n_frames": n_pages,
+        "n_bytes": len(payload),
+    }
+
+
+def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
+    """Full raster decode of one TIFF page for the uncompressed 8-bit
+    subset (Compression=1, the TIFF 6.0 baseline every scanner emits):
+    concatenates the page's strips per StripOffsets/StripByteCounts and
+    validates against RowsPerStrip geometry. Returns height × width ×
+    samples bytes of THAT page — the page-addressable decode the
+    reference's multi-page ProcessPages loop needs. None for compressed
+    / non-8-bit / malformed pages, never an exception."""
+    if parse_tiff(payload) is None:
+        return None
+    lt = "<" if payload[:2] == b"II" else ">"
+    for p, (ifd_off, n) in enumerate(_tiff_ifds(payload, lt)):
+        if p != page:
+            continue
+        tags: dict[int, list[int]] = {}
+        for j in range(n):
+            tag, vals = _tiff_tag_values(payload, lt, ifd_off + 2 + 12 * j)
+            if vals is not None:
+                tags[tag] = vals
+        if tags.get(259, [1])[0] != 1:  # compressed — not carried
+            return None
+        w, h = tags[256][0], tags[257][0]
+        spp = tags.get(277, [1])[0]
+        if tags.get(258, [8])[0] != 8:
+            return None
+        offs = tags.get(273)
+        counts = tags.get(279)
+        if not offs or not counts or len(offs) != len(counts):
+            return None
+        out = bytearray()
+        for o, c in zip(offs, counts):
+            if o + c > len(payload):
+                return None
+            out += payload[o : o + c]
+        if len(out) != w * h * spp:
+            return None
+        return bytes(out)
+    return None
+
+
+def make_tiff(
+    width: int, height: int, n_pages: int = 1, rows_per_strip: int = 8
+) -> bytes:
+    """Build a real multi-page uncompressed grayscale TIFF (test/synth
+    helper documenting the layout ``parse_tiff`` / ``decode_tiff_pixels``
+    read): little-endian header, one IFD per page with the baseline tag
+    set, multiple strips per page (exercises the strip walk). Page p's
+    raster is the gradient ``(3x + 7y + 13p) % 256``."""
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    ifd_ptr_at = 4
+    for p in range(n_pages):
+        raster = bytes(
+            (3 * x + 7 * y + 13 * p) % 256
+            for y in range(height) for x in range(width)
+        )
+        n_strips = -(-height // rows_per_strip)
+        strip_offs, strip_counts = [], []
+        for s in range(n_strips):
+            rows = min(rows_per_strip, height - s * rows_per_strip)
+            data = raster[
+                s * rows_per_strip * width : (s * rows_per_strip + rows) * width
+            ]
+            strip_offs.append(len(out))
+            strip_counts.append(len(data))
+            out += data
+        # out-of-line arrays for strip offsets/counts when > 1 strip
+        offs_at = len(out)
+        if n_strips > 1:
+            out += struct.pack("<" + str(n_strips) + "I", *strip_offs)
+        counts_at = len(out)
+        if n_strips > 1:
+            out += struct.pack("<" + str(n_strips) + "I", *strip_counts)
+        ifd_at = len(out)
+        struct.pack_into("<I", out, ifd_ptr_at, ifd_at)
+        entries = [
+            (256, 4, 1, width),
+            (257, 4, 1, height),
+            (258, 3, 1, 8),
+            (259, 3, 1, 1),  # uncompressed
+            (262, 3, 1, 1),  # BlackIsZero
+            (273, 4, n_strips,
+             strip_offs[0] if n_strips == 1 else offs_at),
+            (277, 3, 1, 1),
+            (278, 4, 1, rows_per_strip),
+            (279, 4, n_strips,
+             strip_counts[0] if n_strips == 1 else counts_at),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, ftype, count, value in entries:
+            out += struct.pack("<HHI", tag, ftype, count)
+            out += struct.pack("<I", value) if ftype == 4 else struct.pack(
+                "<HH", value, 0
+            )
+        ifd_ptr_at = len(out)
+        out += b"\x00\x00\x00\x00"  # next-IFD pointer (patched or final 0)
+    return bytes(out)
+
+
 def _pnm_tokens(payload: bytes, count: int) -> tuple[list[int], int] | None:
     """Read ``count`` whitespace-separated ASCII integers after the PNM
     magic, honoring ``#`` comments-to-end-of-line (the public netpbm
@@ -1071,15 +1274,15 @@ def decode_pnm_pixels(payload: bytes) -> bytes | None:
 
 def decode_media(payload: bytes) -> dict:
     """Real decode with stub fallback: BMP → PNG → JPEG → WAV → MP4 →
-    GIF → PNM → deterministic stub (format='raw', stub law for
+    GIF → TIFF → PNM → deterministic stub (format='raw', stub law for
     width/frames, so unknown blobs still yield stable,
     partition-independent metadata instead of failing the scan). The
-    seven parsers are mutually exclusive on magic bytes, so order is
+    eight parsers are mutually exclusive on magic bytes, so order is
     cosmetic."""
     meta = (
         parse_bmp(payload) or parse_png(payload) or parse_jpeg(payload)
         or parse_wav(payload) or parse_mp4(payload) or parse_gif(payload)
-        or parse_pnm(payload)
+        or parse_tiff(payload) or parse_pnm(payload)
     )
     if meta is not None:
         return meta
@@ -1480,6 +1683,56 @@ def jpeg_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows,
             columns=["doc_id", "width", "height", "n_channels", "n_px",
                      "pix_sum"],
+        )
+
+
+TIFF_STATS_SCHEMA = (
+    "doc_id bigint, page int, width int, height int, n_frames int, "
+    "n_px bigint, pix_sum bigint"
+)
+
+
+def synth_tiff_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id -> a real multi-page uncompressed TIFF
+    (``make_tiff``): ``1 + i % 4`` pages of ``(1 + i % 24) × (1 + i % 16)``
+    with per-page gradient rasters — the payload source for the
+    ``multimodal_tiff`` oracle query."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "payload": [
+                make_tiff(1 + int(i) % 24, 1 + int(i) % 16, 1 + int(i) % 4)
+                for i in pdf["doc_id"]
+            ],
+        })
+
+
+def tiff_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload:binary) -> ONE ROW PER PAGE
+    with full raster stats — the multi-page fan-out shape the reference's
+    ProcessPages loop has over multi-page TIFFs. Non-TIFF / malformed
+    payloads emit a single all-zero row (never-dies law)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload) if payload is not None else b""
+            meta = parse_tiff(b)
+            if meta is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0, 0))
+                continue
+            for p in range(meta["n_frames"]):
+                px = decode_tiff_pixels(b, p)
+                if px is None:
+                    rows.append((doc_id, p, 0, 0, 0, 0, 0))
+                else:
+                    rows.append((
+                        doc_id, p, meta["width"], meta["height"],
+                        meta["n_frames"], len(px), sum(px),
+                    ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "page", "width", "height", "n_frames",
+                     "n_px", "pix_sum"],
         )
 
 

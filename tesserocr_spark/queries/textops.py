@@ -780,6 +780,53 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_tiff",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 24 AS w, 1 + doc_id % 16 AS h,
+         1 + doc_id % 4 AS np FROM documents
+),
+ps AS (SELECT unnest(range(4)) AS p),
+xs AS (SELECT unnest(range(24)) AS x),
+ys AS (SELECT unnest(range(16)) AS y)
+SELECT d.doc_id,
+       CAST(ps.p AS INT) AS page,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(d.np AS INT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum((3 * xs.x + 7 * ys.y + 13 * ps.p) % 256) AS BIGINT)
+           AS pix_sum
+FROM dims d
+JOIN ps ON ps.p < d.np JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h
+GROUP BY d.doc_id, ps.p, d.w, d.h, d.np""",
+)
+def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-page TIFF decode end-to-end (TIFF 6.0 from the public
+    spec, no codec library): the synth kernel builds a real multi-page
+    uncompressed grayscale TIFF per document (one IFD per page, multiple
+    strips per page, per-page gradient rasters ``(3x + 7y + 13p) % 256``)
+    and ``tiff_stats_map`` walks the IFD chain back and emits ONE ROW PER
+    PAGE with full raster stats — the page fan-out the reference's
+    ``ProcessPages`` performs over multi-page TIFFs (tesserocr's
+    image_to_text on TIFF stacks). The DuckDB oracle predicts every row
+    arithmetically from doc_id — a defect in the IFD chain walk, the
+    entry/value-offset decoding (inline vs out-of-line), or the
+    strip-geometry validation changes row counts or sums and
+    hash-mismatches. Two chained narrow ``mapInPandas`` stages, no
+    shuffle."""
+    from ..multimodal import (
+        TIFF_STATS_SCHEMA,
+        synth_tiff_map,
+        tiff_stats_map,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    payloads = d.mapInPandas(synth_tiff_map, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(tiff_stats_map, TIFF_STATS_SCHEMA)
+
+
+@query(
     "multimodal_pnm",
     oracle="""
 WITH dims AS (

@@ -436,6 +436,76 @@ class TestContainerParserProperties:
         out = decode_jpeg_pixels(bytes(j))
         assert out is None or len(out) == 19 * 10
 
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=24),
+        n_pages=st.integers(min_value=1, max_value=4),
+        rps=st.sampled_from([1, 3, 8, 64]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_tiff_multipage_roundtrip(self, w, h, n_pages, rps):
+        """Build → parse → per-page raster decode across the IFD chain,
+        with every strip layout (1 row/strip to single-strip)."""
+        from tesserocr_spark.multimodal import (
+            decode_tiff_pixels,
+            make_tiff,
+            parse_tiff,
+        )
+
+        t = make_tiff(w, h, n_pages, rows_per_strip=rps)
+        m = parse_tiff(t)
+        assert m is not None
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_pages)
+        assert m["bpp"] == 8 and m["format"] == "tiff"
+        for p in range(n_pages):
+            assert decode_tiff_pixels(t, p) == bytes(
+                (3 * x + 7 * y + 13 * p) % 256
+                for y in range(h) for x in range(w)
+            )
+        assert decode_tiff_pixels(t, n_pages) is None
+
+    def test_tiff_big_endian_hand_built(self):
+        """A hand-built MM (big-endian) single-page TIFF parses with the
+        same laws — the byte-order switch is real, not II-only."""
+        import struct
+
+        from tesserocr_spark.multimodal import decode_tiff_pixels, parse_tiff
+
+        raster = bytes((x + 2 * y) % 256 for y in range(3) for x in range(5))
+        out = bytearray(b"MM\x00*" + struct.pack(">I", 8 + len(raster)))
+        out += raster
+        entries = [
+            (256, 4, 1, 5), (257, 4, 1, 3), (258, 3, 1, 8), (259, 3, 1, 1),
+            (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 64),
+            (279, 4, 1, len(raster)),
+        ]
+        out += struct.pack(">H", len(entries))
+        for tag, ftype, count, value in entries:
+            out += struct.pack(">HHI", tag, ftype, count)
+            out += struct.pack(">I", value) if ftype == 4 else struct.pack(
+                ">HH", value, 0
+            )
+        out += b"\x00\x00\x00\x00"
+        m = parse_tiff(bytes(out))
+        assert m and (m["width"], m["height"], m["n_frames"]) == (5, 3, 1)
+        assert decode_tiff_pixels(bytes(out)) == raster
+
+    @given(flip=st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=60, deadline=None)
+    def test_tiff_single_bitflip_never_crashes(self, flip):
+        from tesserocr_spark.multimodal import (
+            decode_media,
+            decode_tiff_pixels,
+            make_tiff,
+        )
+
+        t = bytearray(make_tiff(11, 7, 2))
+        idx = flip % len(t)
+        t[idx] ^= 1 << (flip % 8)
+        decode_media(bytes(t))  # must not raise
+        decode_tiff_pixels(bytes(t), 0)
+        decode_tiff_pixels(bytes(t), 1)
+
     @given(flip=st.integers(min_value=0, max_value=10**6))
     @settings(max_examples=60, deadline=None)
     def test_gif_single_bitflip_never_crashes(self, flip):
