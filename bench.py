@@ -29,6 +29,7 @@ BENCH_QUERIES = (
     "multimodal_pixels",       # since r05 (full PNG pixel decode)
     "multimodal_gif",          # since r05 (from-scratch LZW decode)
     "multimodal_jpeg",         # since r05 (baseline JPEG codec both ways)
+    "multimodal_tiff",         # since r05 (multi-page IFD walk + strips)
     "dedup_substrings",        # since r05 (Lee et al. ExactSubstr scan)
     "ann_bruteforce_topk",
     "q1_flagship_agg",
@@ -142,7 +143,7 @@ def main() -> None:
     # comparable.
     for q in ("dedup_minhash_lsh", "dedup_simhash64", "dedup_campaign_keep_lsh",
               "multimodal_decode", "multimodal_pixels", "multimodal_gif",
-              "multimodal_jpeg", "dedup_substrings",
+              "multimodal_jpeg", "multimodal_tiff", "dedup_substrings",
               "ann_bruteforce_topk", "q1_flagship_agg", "revenue_by_nation"):
         timed(q, lambda q=q: _noop(QUERIES[q](spark, sf_dir)))
 
