@@ -415,6 +415,44 @@ class TestContainerParserProperties:
         assert max(errs) <= 24
         assert sum(errs) / len(errs) <= 4
 
+    def test_jpeg_decoder_against_hand_assembled_stream(self):
+        """Ground the decoder against SPEC-derived bits, independent of
+        the encoder: one 8x8 block, DC diff +5, hand-coded with the
+        Annex K DC table (canonical codes: category 3 -> '100', value
+        bits '101') and a single-symbol EOB AC table (one len-2 code
+        '00'), MSB-first -> exactly one byte 0x94. Quantizer 8
+        means DC 5 -> dequantized 40 -> IDCT constant 40/8 + 128 = 133.
+        A decoder defect in code reconstruction, EXTEND, bit order, or
+        the IDCT scale cannot cancel against the encoder's."""
+        import struct
+
+        from tesserocr_spark.multimodal import (
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            decode_jpeg_pixels,
+        )
+
+        def seg(marker, body):
+            return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(body)) + body
+
+        ac_bits = [0, 1] + [0] * 14  # one len-2 code: EOB = '00'
+        dht = (
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(ac_bits) + bytes([0x00])
+        )
+        jpeg = (
+            b"\xff\xd8"
+            + seg(0xDB, bytes([0x00]) + bytes([8]) * 64)
+            + seg(0xC4, dht)
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+            + seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+            # bits: DC cat3 '100' + value '101' + EOB '00' + 1-padding
+            + bytes([0b10010100, 0b11111111, 0x00])  # stuffed 0xFF
+            + b"\xff\xd9"
+        )
+        out = decode_jpeg_pixels(jpeg)
+        assert out == bytes([133]) * 64
+
     @given(flip=st.integers(min_value=0, max_value=10**6))
     @settings(max_examples=60, deadline=None)
     def test_jpeg_single_bitflip_never_crashes(self, flip):
