@@ -112,6 +112,26 @@ def test_multimodal_pixels_chains_kernels_without_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
+def test_multimodal_codec_queries_chain_kernels_without_shuffle(spark):
+    """Every full-decode codec query (GIF LZW, baseline JPEG, multi-page
+    TIFF, PNM) keeps the multimodal_pixels plan shape: two chained
+    MapInPandas in one stage over a doc_id-only scan — payload bytes
+    never cross the wire, even for the TIFF per-page fan-out."""
+    from tesserocr_spark.queries.textops import (
+        multimodal_gif,
+        multimodal_jpeg,
+        multimodal_pnm,
+        multimodal_tiff,
+    )
+
+    for q in (multimodal_gif, multimodal_jpeg, multimodal_tiff,
+              multimodal_pnm):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, q.__name__
+        assert plan.count("MapInPandas") == 2, q.__name__
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
+
+
 def test_minhash_lsh_banded_equi_join_not_allpairs(spark):
     """The b×r band keys must reach the candidate self-join as equi keys
     (hash/sort-merge), never a nested-loop/cartesian all-pairs plan."""
