@@ -612,13 +612,27 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+#: GIF interlace passes (GIF89a Appendix E): (first row, row step) —
+#: rows are stored pass-by-pass, displayed at their true positions.
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlaced_row_order(height: int) -> list[int]:
+    """Display-row index of each STORED row, in storage order."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, height, step)
+    ]
+
+
 def decode_gif_pixels(payload: bytes) -> bytes | None:
     """Full GIF pixel decode of the FIRST frame (the image twin of
     ``decode_png_pixels``, but with the LZW codec implemented from the
     public spec rather than delegated to stdlib zlib): walks to the first
     image descriptor, concatenates its sub-blocks, LZW-decodes, and
-    returns height × width palette-index bytes. Non-interlaced frames
-    only; None (never an exception) on anything malformed."""
+    returns height × width palette-index bytes in DISPLAY order —
+    interlaced frames (GIF89a Appendix E four-pass row layout) are
+    de-interlaced. None (never an exception) on anything malformed."""
     meta = parse_gif(payload)
     if meta is None:
         return None
@@ -632,8 +646,6 @@ def decode_gif_pixels(payload: bytes) -> bytes | None:
         elif b == 0x2C:
             w, h = struct.unpack_from("<HH", payload, off + 5)
             ipacked = payload[off + 9]
-            if ipacked & 0x40:  # interlaced — not carried
-                return None
             off += 10
             if ipacked & 0x80:
                 off += 3 * (1 << ((ipacked & 0x07) + 1))
@@ -650,6 +662,11 @@ def decode_gif_pixels(payload: bytes) -> bytes | None:
             px = _lzw_decode(b"".join(chunks), min_code)
             if px is None or len(px) != w * h:
                 return None
+            if ipacked & 0x40:  # interlaced: reorder stored rows to display
+                out = bytearray(w * h)
+                for stored, y in enumerate(_gif_interlaced_row_order(h)):
+                    out[y * w : (y + 1) * w] = px[stored * w : (stored + 1) * w]
+                return bytes(out)
             return px
         else:
             return None
@@ -1091,14 +1108,64 @@ def parse_tiff(payload: bytes) -> dict | None:
     }
 
 
+def _packbits_decode(data: bytes) -> bytes | None:
+    """Apple PackBits RLE decode (TIFF 6.0 §9, Compression=32773):
+    control byte 0..127 → copy n+1 literals, 129..255 (signed -1..-127)
+    → repeat next byte 257-n times, 128 → no-op. None on truncation."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                return None
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                return None
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode (runs ≥ 3 become repeats, else literals of up
+    to 128 bytes) — the exact inverse convention of ``_packbits_decode``."""
+    out = bytearray()
+    i = 0
+    lit_start = i
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                n = min(128, i - lit_start)
+                out += bytes([n - 1]) + data[lit_start : lit_start + n]
+                lit_start += n
+            out += bytes([257 - run, data[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        n = min(128, i - lit_start)
+        out += bytes([n - 1]) + data[lit_start : lit_start + n]
+        lit_start += n
+    return bytes(out)
+
+
 def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
-    """Full raster decode of one TIFF page for the uncompressed 8-bit
-    subset (Compression=1, the TIFF 6.0 baseline every scanner emits):
-    concatenates the page's strips per StripOffsets/StripByteCounts and
-    validates against RowsPerStrip geometry. Returns height × width ×
-    samples bytes of THAT page — the page-addressable decode the
-    reference's multi-page ProcessPages loop needs. None for compressed
-    / non-8-bit / malformed pages, never an exception."""
+    """Full raster decode of one TIFF page for the 8-bit baseline:
+    Compression=1 (uncompressed) and Compression=32773 (PackBits RLE,
+    applied per strip as TIFF 6.0 §9 requires). Concatenates the page's
+    strips per StripOffsets/StripByteCounts and validates against
+    RowsPerStrip geometry. Returns height × width × samples bytes of
+    THAT page — the page-addressable decode the reference's multi-page
+    ProcessPages loop needs. None for other compressions / non-8-bit /
+    malformed pages, never an exception."""
     if parse_tiff(payload) is None:
         return None
     lt = "<" if payload[:2] == b"II" else ">"
@@ -1110,7 +1177,8 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
             tag, vals = _tiff_tag_values(payload, lt, ifd_off + 2 + 12 * j)
             if vals is not None:
                 tags[tag] = vals
-        if tags.get(259, [1])[0] != 1:  # compressed — not carried
+        comp = tags.get(259, [1])[0]
+        if comp not in (1, 32773):  # other compressions — not carried
             return None
         w, h = tags[256][0], tags[257][0]
         spp = tags.get(277, [1])[0]
@@ -1124,7 +1192,12 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
         for o, c in zip(offs, counts):
             if o + c > len(payload):
                 return None
-            out += payload[o : o + c]
+            strip = payload[o : o + c]
+            if comp == 32773:
+                strip = _packbits_decode(strip)
+                if strip is None:
+                    return None
+            out += strip
         if len(out) != w * h * spp:
             return None
         return bytes(out)
@@ -1132,13 +1205,19 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
 
 
 def make_tiff(
-    width: int, height: int, n_pages: int = 1, rows_per_strip: int = 8
+    width: int,
+    height: int,
+    n_pages: int = 1,
+    rows_per_strip: int = 8,
+    compression: int = 1,
 ) -> bytes:
-    """Build a real multi-page uncompressed grayscale TIFF (test/synth
-    helper documenting the layout ``parse_tiff`` / ``decode_tiff_pixels``
+    """Build a real multi-page grayscale TIFF (test/synth helper
+    documenting the layout ``parse_tiff`` / ``decode_tiff_pixels``
     read): little-endian header, one IFD per page with the baseline tag
-    set, multiple strips per page (exercises the strip walk). Page p's
-    raster is the gradient ``(3x + 7y + 13p) % 256``."""
+    set, multiple strips per page (exercises the strip walk).
+    ``compression`` 1 (none) or 32773 (PackBits, applied per strip).
+    Page p's raster is the gradient ``(3x + 7y + 13p) % 256``."""
+    assert compression in (1, 32773)
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_at = 4
     for p in range(n_pages):
@@ -1153,6 +1232,8 @@ def make_tiff(
             data = raster[
                 s * rows_per_strip * width : (s * rows_per_strip + rows) * width
             ]
+            if compression == 32773:
+                data = _packbits_encode(data)
             strip_offs.append(len(out))
             strip_counts.append(len(data))
             out += data
@@ -1169,7 +1250,7 @@ def make_tiff(
             (256, 4, 1, width),
             (257, 4, 1, height),
             (258, 3, 1, 8),
-            (259, 3, 1, 1),  # uncompressed
+            (259, 3, 1, compression),
             (262, 3, 1, 1),  # BlackIsZero
             (273, 4, n_strips,
              strip_offs[0] if n_strips == 1 else offs_at),
@@ -1488,24 +1569,39 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def make_gif(width: int, height: int, pixels: bytes | None = None) -> bytes:
+def make_gif(
+    width: int,
+    height: int,
+    pixels: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Build a real, spec-valid GIF89a (test/synth helper — documents the
     exact layout ``parse_gif`` / ``decode_gif_pixels`` read): Logical
     Screen Descriptor with a 256-entry Global Color Table, a Graphic
-    Control Extension (exercises the extension-skip path), one
-    non-interlaced full-frame image descriptor, and the pixel indices
-    LZW-encoded at minimum code size 8 into 255-byte sub-blocks. Default
-    pixel content is the deterministic gradient ``(3x + 7y) % 256``."""
+    Control Extension (exercises the extension-skip path), one full-frame
+    image descriptor, and the pixel indices LZW-encoded at minimum code
+    size 8 into 255-byte sub-blocks. With ``interlace`` the rows are
+    stored in the GIF89a Appendix E four-pass order and the descriptor
+    flag is set. Default pixel content (display order) is the
+    deterministic gradient ``(3x + 7y) % 256``."""
     if pixels is None:
         pixels = bytes(
             (3 * x + 7 * y) % 256 for y in range(height) for x in range(width)
         )
     assert len(pixels) == width * height
+    stored = pixels
+    if interlace:
+        stored = b"".join(
+            pixels[y * width : (y + 1) * width]
+            for y in _gif_interlaced_row_order(height)
+        )
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     gct = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    idesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    lzw = _lzw_encode(pixels, 8)
+    idesc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    lzw = _lzw_encode(stored, 8)
     blocks = b"".join(
         bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
         for i in range(0, len(lzw), 255)
@@ -1589,19 +1685,21 @@ def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 GIF_STATS_SCHEMA = (
     "doc_id bigint, width int, height int, n_frames int, "
-    "n_px bigint, pix_sum bigint"
+    "n_px bigint, pix_sum bigint, pix_wsum bigint"
 )
 
 
 def synth_gif_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: doc_id -> a real GIF89a payload
-    (``make_gif(1 + i % 32, 1 + i % 16)``, default gradient indices) —
-    the payload source for the ``multimodal_gif`` oracle query."""
+    (``make_gif(1 + i % 32, 1 + i % 16)``, default gradient indices;
+    INTERLACED storage for odd doc_id — display pixels identical) — the
+    payload source for the ``multimodal_gif`` oracle query."""
     for pdf in batches:
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].values,
             "payload": [
-                make_gif(1 + int(i) % 32, 1 + int(i) % 16)
+                make_gif(1 + int(i) % 32, 1 + int(i) % 16,
+                         interlace=bool(int(i) % 2))
                 for i in pdf["doc_id"]
             ],
         })
@@ -1610,8 +1708,11 @@ def synth_gif_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> GIF header fields +
     full-LZW-decode pixel stats via ``parse_gif`` / ``decode_gif_pixels``.
-    Non-GIF / malformed payloads report all-zero rather than failing the
-    scan — same never-dies law as ``pixel_stats_map``."""
+    ``pix_wsum`` weights each display-order pixel by its linear index, so
+    a de-interlacing or row-order defect changes it even though the
+    order-invariant ``pix_sum`` would not. Non-GIF / malformed payloads
+    report all-zero rather than failing the scan — same never-dies law as
+    ``pixel_stats_map``."""
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -1619,16 +1720,17 @@ def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             meta = parse_gif(b)
             px = decode_gif_pixels(b) if meta else None
             if meta is None or px is None:
-                rows.append((doc_id, 0, 0, 0, 0, 0))
+                rows.append((doc_id, 0, 0, 0, 0, 0, 0))
             else:
                 rows.append((
                     doc_id, meta["width"], meta["height"], meta["n_frames"],
                     len(px), sum(px),
+                    sum(i * v for i, v in enumerate(px)),
                 ))
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "width", "height", "n_frames", "n_px",
-                     "pix_sum"],
+                     "pix_sum", "pix_wsum"],
         )
 
 
@@ -1688,20 +1790,22 @@ def jpeg_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 TIFF_STATS_SCHEMA = (
     "doc_id bigint, page int, width int, height int, n_frames int, "
-    "n_px bigint, pix_sum bigint"
+    "n_px bigint, pix_sum bigint, pix_wsum bigint"
 )
 
 
 def synth_tiff_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: doc_id -> a real multi-page uncompressed TIFF
+    """mapInPandas kernel: doc_id -> a real multi-page TIFF
     (``make_tiff``): ``1 + i % 4`` pages of ``(1 + i % 24) × (1 + i % 16)``
-    with per-page gradient rasters — the payload source for the
+    with per-page gradient rasters; PACKBITS-compressed strips for odd
+    doc_id (decoded rasters identical) — the payload source for the
     ``multimodal_tiff`` oracle query."""
     for pdf in batches:
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].values,
             "payload": [
-                make_tiff(1 + int(i) % 24, 1 + int(i) % 16, 1 + int(i) % 4)
+                make_tiff(1 + int(i) % 24, 1 + int(i) % 16, 1 + int(i) % 4,
+                          compression=32773 if int(i) % 2 else 1)
                 for i in pdf["doc_id"]
             ],
         })
@@ -1710,7 +1814,9 @@ def synth_tiff_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def tiff_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> ONE ROW PER PAGE
     with full raster stats — the multi-page fan-out shape the reference's
-    ProcessPages loop has over multi-page TIFFs. Non-TIFF / malformed
+    ProcessPages loop has over multi-page TIFFs. ``pix_wsum`` weights
+    each raster byte by its linear index so a PackBits run-length defect
+    that preserves totals still mismatches. Non-TIFF / malformed
     payloads emit a single all-zero row (never-dies law)."""
     for pdf in batches:
         rows = []
@@ -1718,21 +1824,22 @@ def tiff_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             b = bytes(payload) if payload is not None else b""
             meta = parse_tiff(b)
             if meta is None:
-                rows.append((doc_id, 0, 0, 0, 0, 0, 0))
+                rows.append((doc_id, 0, 0, 0, 0, 0, 0, 0))
                 continue
             for p in range(meta["n_frames"]):
                 px = decode_tiff_pixels(b, p)
                 if px is None:
-                    rows.append((doc_id, p, 0, 0, 0, 0, 0))
+                    rows.append((doc_id, p, 0, 0, 0, 0, 0, 0))
                 else:
                     rows.append((
                         doc_id, p, meta["width"], meta["height"],
                         meta["n_frames"], len(px), sum(px),
+                        sum(i * v for i, v in enumerate(px)),
                     ))
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "page", "width", "height", "n_frames",
-                     "n_px", "pix_sum"],
+                     "n_px", "pix_sum", "pix_wsum"],
         )
 
 

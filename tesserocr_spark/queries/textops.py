@@ -703,7 +703,9 @@ SELECT d.doc_id,
        CAST(d.h AS INT) AS height,
        CAST(1 AS INT) AS n_frames,
        CAST(count(*) AS BIGINT) AS n_px,
-       CAST(sum((3 * xs.x + 7 * ys.y) % 256) AS BIGINT) AS pix_sum
+       CAST(sum((3 * xs.x + 7 * ys.y) % 256) AS BIGINT) AS pix_sum,
+       CAST(sum((ys.y * d.w + xs.x) * ((3 * xs.x + 7 * ys.y) % 256))
+            AS BIGINT) AS pix_wsum
 FROM dims d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h
 GROUP BY d.doc_id, d.w, d.h""",
 )
@@ -714,12 +716,15 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     real GIF89a per document (256-entry global color table, a graphic
     control extension, gradient palette indices ``(3x + 7y) % 256``
     LZW-encoded at 9→12-bit variable code width into 255-byte
-    sub-blocks), ships it through Arrow as binary, and ``gif_stats_map``
-    walks the block stream back, LZW-decodes the frame, and aggregates
-    (header fields, pixel count, pixel sum). The DuckDB oracle predicts
-    everything arithmetically from doc_id — any defect in the sub-block
-    chain, the LSB-first code packing, the clear/EOI handling, or the
-    code-width growth law hash-mismatches. Two chained narrow
+    sub-blocks; odd doc_ids stored INTERLACED per GIF89a Appendix E),
+    ships it through Arrow as binary, and ``gif_stats_map`` walks the
+    block stream back, LZW-decodes and de-interlaces the frame, and
+    aggregates (header fields, pixel count, pixel sum, index-weighted
+    pixel sum). The DuckDB oracle predicts everything arithmetically
+    from doc_id — any defect in the sub-block chain, the LSB-first code
+    packing, the clear/EOI handling, the code-width growth law, or the
+    four-pass de-interlace row order (caught by the order-sensitive
+    weighted sum) hash-mismatches. Two chained narrow
     ``mapInPandas`` stages, no shuffle — at corpus scale the decode runs
     wherever the payload partition lives (mirrors the reference's
     image-bytes ingest surface, ``tesserocr/tesserocr.pyx:1720-1750``)."""
@@ -796,7 +801,10 @@ SELECT d.doc_id,
        CAST(d.np AS INT) AS n_frames,
        CAST(count(*) AS BIGINT) AS n_px,
        CAST(sum((3 * xs.x + 7 * ys.y + 13 * ps.p) % 256) AS BIGINT)
-           AS pix_sum
+           AS pix_sum,
+       CAST(sum((ys.y * d.w + xs.x)
+                * ((3 * xs.x + 7 * ys.y + 13 * ps.p) % 256)) AS BIGINT)
+           AS pix_wsum
 FROM dims d
 JOIN ps ON ps.p < d.np JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h
 GROUP BY d.doc_id, ps.p, d.w, d.h, d.np""",
@@ -804,16 +812,18 @@ GROUP BY d.doc_id, ps.p, d.w, d.h, d.np""",
 def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL multi-page TIFF decode end-to-end (TIFF 6.0 from the public
     spec, no codec library): the synth kernel builds a real multi-page
-    uncompressed grayscale TIFF per document (one IFD per page, multiple
-    strips per page, per-page gradient rasters ``(3x + 7y + 13p) % 256``)
-    and ``tiff_stats_map`` walks the IFD chain back and emits ONE ROW PER
+    grayscale TIFF per document (one IFD per page, multiple strips per
+    page, per-page gradient rasters ``(3x + 7y + 13p) % 256``;
+    PACKBITS-compressed strips for odd doc_ids, TIFF 6.0 §9) and
+    ``tiff_stats_map`` walks the IFD chain back and emits ONE ROW PER
     PAGE with full raster stats — the page fan-out the reference's
     ``ProcessPages`` performs over multi-page TIFFs (tesserocr's
     image_to_text on TIFF stacks). The DuckDB oracle predicts every row
     arithmetically from doc_id — a defect in the IFD chain walk, the
-    entry/value-offset decoding (inline vs out-of-line), or the
-    strip-geometry validation changes row counts or sums and
-    hash-mismatches. Two chained narrow ``mapInPandas`` stages, no
+    entry/value-offset decoding (inline vs out-of-line), the
+    strip-geometry validation, or the per-strip PackBits RLE decode
+    (caught by the order-sensitive weighted sum) changes row counts or
+    sums and hash-mismatches. Two chained narrow ``mapInPandas`` stages, no
     shuffle."""
     from ..multimodal import (
         TIFF_STATS_SCHEMA,

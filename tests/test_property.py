@@ -247,14 +247,16 @@ class TestContainerParserProperties:
     @given(
         w=st.integers(min_value=1, max_value=48),
         h=st.integers(min_value=1, max_value=24),
+        interlace=st.booleans(),
         data=st.data(),
     )
     @settings(max_examples=60, deadline=None)
-    def test_gif_roundtrip_and_lzw_pixel_decode(self, w, h, data):
+    def test_gif_roundtrip_and_lzw_pixel_decode(self, w, h, interlace, data):
         """Build → parse → full LZW pixel decode: random palette indices
         survive the from-scratch LZW encode/decode bit-exactly (the
         gradient default is NOT used here, so the codec can't pattern-match
-        its way to a pass)."""
+        its way to a pass); interlaced storage must de-interlace back to
+        the same display-order pixels."""
         from tesserocr_spark.multimodal import (
             decode_gif_pixels,
             make_gif,
@@ -266,12 +268,38 @@ class TestContainerParserProperties:
             for _ in range(min(w * h, 64))
         )
         pixels = (seed * (w * h // max(1, len(seed)) + 1))[: w * h]
-        gif = make_gif(w, h, pixels)
+        gif = make_gif(w, h, pixels, interlace=interlace)
         m = parse_gif(gif)
         assert m is not None
         assert (m["width"], m["height"], m["bpp"]) == (w, h, 8)
         assert m["n_frames"] == 1 and m["format"] == "gif"
         assert decode_gif_pixels(gif) == pixels
+
+    def test_gif_interlace_row_order_is_appendix_e(self):
+        """The four-pass order for height 10 straight from GIF89a
+        Appendix E: rows 0,8 then 4 then 2,6 then odd rows."""
+        from tesserocr_spark.multimodal import _gif_interlaced_row_order
+
+        assert _gif_interlaced_row_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+        assert _gif_interlaced_row_order(1) == [0]
+
+    @given(data=st.binary(max_size=600), runs=st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_packbits_roundtrip(self, data, runs):
+        """PackBits decode(encode(x)) == x for arbitrary data and for
+        run-heavy data (both RLE branches)."""
+        from tesserocr_spark.multimodal import (
+            _packbits_decode,
+            _packbits_encode,
+        )
+
+        heavy = b"".join(
+            bytes([runs.draw(st.integers(0, 255))])
+            * runs.draw(st.integers(1, 300))
+            for _ in range(4)
+        )
+        for stream in (data, heavy, data + heavy):
+            assert _packbits_decode(_packbits_encode(stream)) == stream
 
     @given(data=st.binary(min_size=0, max_size=3000))
     @settings(max_examples=40, deadline=None)
@@ -479,18 +507,20 @@ class TestContainerParserProperties:
         h=st.integers(min_value=1, max_value=24),
         n_pages=st.integers(min_value=1, max_value=4),
         rps=st.sampled_from([1, 3, 8, 64]),
+        comp=st.sampled_from([1, 32773]),
     )
     @settings(max_examples=50, deadline=None)
-    def test_tiff_multipage_roundtrip(self, w, h, n_pages, rps):
+    def test_tiff_multipage_roundtrip(self, w, h, n_pages, rps, comp):
         """Build → parse → per-page raster decode across the IFD chain,
-        with every strip layout (1 row/strip to single-strip)."""
+        with every strip layout (1 row/strip to single-strip), both
+        uncompressed and PackBits strips."""
         from tesserocr_spark.multimodal import (
             decode_tiff_pixels,
             make_tiff,
             parse_tiff,
         )
 
-        t = make_tiff(w, h, n_pages, rows_per_strip=rps)
+        t = make_tiff(w, h, n_pages, rows_per_strip=rps, compression=comp)
         m = parse_tiff(t)
         assert m is not None
         assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_pages)
