@@ -486,11 +486,14 @@ class TestContainerParserProperties:
     def test_jpeg_single_bitflip_never_crashes(self, flip):
         """Corrupt one bit anywhere in a real baseline JPEG (tables,
         marker lengths, entropy stream alike): decode must reject or
-        return a same-geometry frame, never raise."""
+        return a frame matching whatever geometry the (possibly
+        corrupted) SOF declares, never raise — a flip in the height
+        field legitimately yields a smaller frame."""
         from tesserocr_spark.multimodal import (
             decode_jpeg_pixels,
             decode_media,
             make_jpeg_baseline,
+            parse_jpeg,
         )
 
         px = bytes((5 * (x // 8) + 9 * (y // 8)) % 256
@@ -499,8 +502,11 @@ class TestContainerParserProperties:
         idx = flip % len(j)
         j[idx] ^= 1 << (flip % 8)
         decode_media(bytes(j))  # must not raise
+        m = parse_jpeg(bytes(j))
         out = decode_jpeg_pixels(bytes(j))
-        assert out is None or len(out) == 19 * 10
+        assert out is None or (
+            m is not None and len(out) == m["width"] * m["height"]
+        )
 
     @given(
         w=st.integers(min_value=1, max_value=40),
