@@ -186,37 +186,26 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png_pixels(payload: bytes) -> bytes | None:
-    """Full PNG pixel decode for the sandbox-reachable subset: 8-bit depth,
-    non-interlaced (any color type; palette images yield index bytes).
-    Concatenates the IDAT chunks, inflates with stdlib ``zlib``, and
-    inverts the per-scanline filter. Returns height × width × channels raw
-    bytes, or None when the stream is outside the subset or inconsistent —
-    never raises on corpus data."""
-    meta = parse_png(payload)
-    if meta is None or meta["bpp"] != meta["n_channels"] * 8:
-        return None
-    ihdr_off = len(_PNG_SIG) + 8
-    if payload[ihdr_off + 12] != 0:  # interlaced — not carried
-        return None
-    idat = b"".join(
-        payload[off : off + length]
-        for ctype, off, length in _png_chunks(payload)
-        if ctype == b"IDAT"
-    )
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None
-    w, h, ch = meta["width"], meta["height"], meta["n_channels"]
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
-        return None
-    out = bytearray()
+#: Adam7 interlace pass grid (RFC 2083 §2.6): (x start, y start, x step,
+#: y step) for each of the seven passes.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, start: int, nrows: int, stride: int, ch: int
+) -> list[bytes] | None:
+    """Invert the five PNG scanline filters over ``nrows`` rows of
+    ``stride`` bytes each starting at ``raw[start]`` (1 filter byte per
+    row); prior row starts as zeros — exactly one pass of an image."""
+    rows: list[bytes] = []
     prior = bytes(stride)
-    for y in range(h):
-        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
-        ftype, line = row[0], bytearray(row[1:])
+    for y in range(nrows):
+        off = start + y * (1 + stride)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
         if ftype == 1:  # Sub
             for i in range(ch, stride):
                 line[i] = (line[i] + line[i - ch]) & 0xFF
@@ -235,7 +224,62 @@ def decode_png_pixels(payload: bytes) -> bytes | None:
         elif ftype != 0:
             return None
         prior = bytes(line)
-        out += prior
+        rows.append(prior)
+    return rows
+
+
+def decode_png_pixels(payload: bytes) -> bytes | None:
+    """Full PNG pixel decode for the 8-bit subset (any color type;
+    palette images yield index bytes), BOTH progressive layouts:
+    sequential and Adam7-interlaced (RFC 2083 §2.6 — seven passes, each
+    filtered independently, scattered back onto the pixel grid).
+    Concatenates the IDAT chunks, inflates with stdlib ``zlib``, and
+    inverts the per-scanline filter. Returns height × width × channels
+    raw bytes in display order, or None when the stream is outside the
+    subset or inconsistent — never raises on corpus data."""
+    meta = parse_png(payload)
+    if meta is None or meta["bpp"] != meta["n_channels"] * 8:
+        return None
+    ihdr_off = len(_PNG_SIG) + 8
+    interlace = payload[ihdr_off + 12]
+    idat = b"".join(
+        payload[off : off + length]
+        for ctype, off, length in _png_chunks(payload)
+        if ctype == b"IDAT"
+    )
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    w, h, ch = meta["width"], meta["height"], meta["n_channels"]
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (1 + stride):
+            return None
+        rows = _png_unfilter(raw, 0, h, stride, ch)
+        return None if rows is None else b"".join(rows)
+    out = bytearray(w * h * ch)
+    pos = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:  # pass empty for small images
+            continue
+        stride = pw * ch
+        if pos + ph * (1 + stride) > len(raw):
+            return None
+        rows = _png_unfilter(raw, pos, ph, stride, ch)
+        if rows is None:
+            return None
+        pos += ph * (1 + stride)
+        for j, row in enumerate(rows):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                base = (y * w + x) * ch
+                out[base : base + ch] = row[i * ch : (i + 1) * ch]
+    if pos != len(raw):
+        return None
     return bytes(out)
 
 
@@ -1454,13 +1498,19 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def make_png(
-    width: int, height: int, color_type: int = 2, pixels: bytes | None = None
+    width: int,
+    height: int,
+    color_type: int = 2,
+    pixels: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
-    """Build a real, spec-valid non-interlaced 8-bit PNG (test/synth helper
-    — documents the exact layout ``parse_png`` / ``decode_png_pixels``
-    read). Each scanline y is filtered with type ``y % 5`` so every filter
-    in the spec is exercised by any image of height >= 5. Default pixel
-    content is the deterministic gradient ``(3x + 7y + 11c) % 256``."""
+    """Build a real, spec-valid 8-bit PNG (test/synth helper — documents
+    the exact layout ``parse_png`` / ``decode_png_pixels`` read). Each
+    scanline y is filtered with type ``y % 5`` so every filter in the
+    spec is exercised by any image of height >= 5. With ``interlace`` the
+    raster is emitted in the Adam7 seven-pass layout (each pass filtered
+    independently). Default pixel content (display order) is the
+    deterministic gradient ``(3x + 7y + 11c) % 256``."""
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
     if pixels is None:
@@ -1470,14 +1520,36 @@ def make_png(
         )
     assert len(pixels) == height * stride
     raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        ftype = y % 5
-        raw.append(ftype)
-        raw += _png_filter_row(ftype, line, prior, ch)
-        prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prior = bytes(pw * ch)
+            for j in range(ph):
+                y = y0 + j * dy
+                line = b"".join(
+                    pixels[(y * width + x0 + i * dx) * ch :
+                           (y * width + x0 + i * dx) * ch + ch]
+                    for i in range(pw)
+                )
+                ftype = j % 5
+                raw.append(ftype)
+                raw += _png_filter_row(ftype, line, prior, ch)
+                prior = line
+    else:
+        prior = bytes(stride)
+        for y in range(height):
+            line = pixels[y * stride : (y + 1) * stride]
+            ftype = y % 5
+            raw.append(ftype)
+            raw += _png_filter_row(ftype, line, prior, ch)
+            prior = line
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     body = _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
         pal = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
@@ -1645,7 +1717,10 @@ def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                              100 + i % 50)
                 )
             elif i % 5 == 1:
-                payloads.append(make_png(1 + i % 48, 1 + i % 24, 2))
+                payloads.append(
+                    make_png(1 + i % 48, 1 + i % 24, 2,
+                             interlace=bool(i % 2))
+                )
             elif i % 5 == 2:
                 payloads.append(make_bmp(1 + i % 64, 1 + i % 32, 24, i % 256))
             elif i % 5 == 3:
@@ -1661,14 +1736,19 @@ def synth_payload_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
 
-PIXEL_STATS_SCHEMA = "doc_id bigint, n_px bigint, pix_sum bigint"
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, n_px bigint, pix_sum bigint, pix_wsum bigint"
+)
 
 
 def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload:binary) -> full-pixel-decode
-    stats (count + byte sum) via ``decode_png_pixels``. Exercises the whole
-    inflate + unfilter path on every payload; non-PNG / out-of-subset
-    payloads report (0, 0) instead of failing the scan."""
+    stats (count, byte sum, index-weighted byte sum) via
+    ``decode_png_pixels``. Exercises the whole inflate + unfilter (+
+    Adam7 de-interlace) path on every payload; the weighted sum is
+    order-sensitive so a pass-scatter defect cannot hide in the
+    order-invariant total. Non-PNG / out-of-subset payloads report zeros
+    instead of failing the scan."""
     import numpy as np
 
     for pdf in batches:
@@ -1676,11 +1756,16 @@ def pixel_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             px = decode_png_pixels(bytes(payload)) if payload is not None else None
             if px is None:
-                rows.append((doc_id, 0, 0))
+                rows.append((doc_id, 0, 0, 0))
             else:
-                arr = np.frombuffer(px, dtype=np.uint8)
-                rows.append((doc_id, len(px), int(arr.sum(dtype=np.int64))))
-        yield pd.DataFrame(rows, columns=["doc_id", "n_px", "pix_sum"])
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                rows.append((
+                    doc_id, len(px), int(arr.sum()),
+                    int((arr * np.arange(len(arr), dtype=np.int64)).sum()),
+                ))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_px", "pix_sum", "pix_wsum"]
+        )
 
 
 GIF_STATS_SCHEMA = (

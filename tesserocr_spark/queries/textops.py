@@ -664,23 +664,29 @@ ys AS (SELECT unnest(range(24)) AS y),
 cs AS (SELECT unnest(range(3)) AS c)
 SELECT d.doc_id,
        CAST(count(*) AS BIGINT) AS n_px,
-       CAST(sum((3 * xs.x + 7 * ys.y + 11 * cs.c) % 256) AS BIGINT) AS pix_sum
+       CAST(sum((3 * xs.x + 7 * ys.y + 11 * cs.c) % 256) AS BIGINT) AS pix_sum,
+       CAST(sum(((ys.y * d.w + xs.x) * 3 + cs.c)
+                * ((3 * xs.x + 7 * ys.y + 11 * cs.c) % 256)) AS BIGINT)
+           AS pix_wsum
 FROM dims d
 JOIN xs ON xs.x < d.w
 JOIN ys ON ys.y < d.h
 CROSS JOIN cs
-GROUP BY d.doc_id""",
+GROUP BY d.doc_id, d.w""",
 )
 def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL PNG pixel decode end-to-end in the driver harness: the synth
     kernel builds a real RGB PNG per doc_id % 5 == 1 document (gradient
     pixels ``(3x + 7y + 11c) % 256``, scanlines filtered with all five PNG
-    filter types, zlib-deflated), ships it through Arrow as binary, and
-    ``pixel_stats_map`` inflates + unfilters back to raw bytes and
-    aggregates (count, sum). The DuckDB oracle reproduces both statistics
-    from the gradient's closed form — any defect anywhere in the deflate/
-    filter/decode chain (or in Arrow binary transport) changes the sum and
-    hash-mismatches. Two chained narrow ``mapInPandas`` stages; at corpus
+    filter types, zlib-deflated; ODD doc_ids stored in the Adam7
+    seven-pass interlaced layout), ships it through Arrow as binary, and
+    ``pixel_stats_map`` inflates + unfilters (+ de-interlaces) back to
+    raw bytes and aggregates (count, sum, index-weighted sum — the
+    weighted sum is order-sensitive, so a Adam7 pass-scatter defect
+    cannot hide in the total). The DuckDB oracle reproduces all three
+    statistics from the gradient's closed form — any defect anywhere in
+    the deflate/filter/de-interlace/decode chain (or in Arrow binary
+    transport) hash-mismatches. Two chained narrow ``mapInPandas`` stages; at corpus
     scale the decode runs wherever the payload partition lives, no
     shuffle."""
     from ..multimodal import PIXEL_STATS_SCHEMA, pixel_stats_map, synth_payload_map

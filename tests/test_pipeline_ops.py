@@ -675,10 +675,11 @@ class TestRealContainerParsers:
         assert rows[2].format == "raw" and rows[2].n_bytes == 0
 
     def test_multimodal_pixels_query_matches_gradient_closed_form(self, spark):
-        """Full PNG pixel decode in the Spark path: per-doc pixel count and
-        byte sum must equal the synth gradient's closed form — any defect
-        in deflate, the five filters, or Arrow binary transport shifts the
-        sum."""
+        """Full PNG pixel decode in the Spark path: per-doc pixel count,
+        byte sum, and index-weighted sum must equal the synth gradient's
+        closed form — any defect in deflate, the five filters, the Adam7
+        de-interlace (odd doc_ids), or Arrow binary transport shifts
+        them."""
         from tesserocr_spark.queries.textops import multimodal_pixels
 
         rows = {r.doc_id: r for r in multimodal_pixels(spark, SF_DIR).collect()}
@@ -686,11 +687,12 @@ class TestRealContainerParsers:
         for doc_id, r in rows.items():
             w, h = 1 + doc_id % 48, 1 + doc_id % 24
             assert r.n_px == w * h * 3
-            expect = sum(
+            vals = [
                 (3 * x + 7 * y + 11 * c) % 256
                 for y in range(h) for x in range(w) for c in range(3)
-            )
-            assert r.pix_sum == expect, doc_id
+            ]
+            assert r.pix_sum == sum(vals), doc_id
+            assert r.pix_wsum == sum(i * v for i, v in enumerate(vals)), doc_id
 
     def test_multimodal_decode_query_end_to_end(self, spark):
         from tesserocr_spark.queries.textops import multimodal_decode

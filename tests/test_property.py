@@ -182,13 +182,16 @@ class TestContainerParserProperties:
         w=st.integers(min_value=1, max_value=64),
         h=st.integers(min_value=1, max_value=32),
         ct=st.sampled_from([0, 2, 3, 4, 6]),
+        interlace=st.booleans(),
         data=st.data(),
     )
     @settings(max_examples=60, deadline=None)
-    def test_png_roundtrip_and_pixel_decode(self, w, h, ct, data):
+    def test_png_roundtrip_and_pixel_decode(self, w, h, ct, interlace, data):
         """Build → parse → full pixel decode: random pixel content survives
         deflate + the five scanline filters bit-exactly (heights >= 5
-        exercise every filter type via make_png's y % 5 rule)."""
+        exercise every filter type via make_png's y % 5 rule), in both the
+        sequential and Adam7-interlaced layouts (small dims exercise empty
+        passes)."""
         from tesserocr_spark.multimodal import (
             _PNG_CHANNELS,
             decode_png_pixels,
@@ -202,7 +205,7 @@ class TestContainerParserProperties:
             for _ in range(min(w * h * ch, 64))
         )
         pixels = (pixels * (w * h * ch // max(1, len(pixels)) + 1))[: w * h * ch]
-        png = make_png(w, h, ct, pixels)
+        png = make_png(w, h, ct, pixels, interlace=interlace)
         m = parse_png(png)
         assert m is not None
         assert (m["width"], m["height"], m["n_channels"]) == (w, h, ch)
