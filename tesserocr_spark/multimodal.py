@@ -832,6 +832,19 @@ class _JpegBitReader:
         self.nbits -= width
         return v
 
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker (ITU T.81 E.2.4): discard the partial
+        padding bits of the current byte (always < 8 buffered after a
+        take) and expect 0xFF 0xD0+m next; raises ValueError otherwise."""
+        self.acc = self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
         for length in range(1, 17):
@@ -859,16 +872,23 @@ def _extend(value: int, t: int) -> int:
 
 
 def make_jpeg_baseline(
-    width: int, height: int, pixels: bytes, quant: int = 8
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: int = 8,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL baseline-sequential grayscale JPEG encoder (ITU T.81): level
     shift, forward 8x8 DCT, flat quantization, zigzag, Huffman entropy
     coding (DC = Annex K luminance table, AC = a uniform 8-bit table —
     both self-described in DHT, as the spec requires), 0xFF byte
     stuffing. Partial edge blocks are padded by edge replication. With
-    per-block-constant pixels and ``quant`` dividing 8, the encode is
-    lossless (DC-only blocks) — the law the ``multimodal_jpeg`` oracle
-    exploits; arbitrary content round-trips within quantization error."""
+    ``restart_interval`` > 0 a DRI segment is written and an RSTm marker
+    (cyclic m, byte-aligned, DC predictor reset — ITU T.81 E.2.4) is
+    emitted every that-many MCUs. With per-block-constant pixels and
+    ``quant`` dividing 8, the encode is lossless (DC-only blocks) — the
+    law the ``multimodal_jpeg`` oracle exploits; arbitrary content
+    round-trips within quantization error."""
     import numpy as np
 
     assert len(pixels) == width * height
@@ -878,8 +898,17 @@ def make_jpeg_baseline(
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if w.nbits:  # byte-align with 1-padding (stuffed if 0xFF)
+                    w.put(0xFF, 8 - w.nbits)
+                w.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                prev_dc = 0
+            mcu += 1
             block = img[by : by + 8, bx : bx + 8]
             if block.shape != (8, 8):  # edge replication padding
                 block = np.pad(
@@ -926,11 +955,16 @@ def make_jpeg_baseline(
     )
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
     sos = bytes((1, 1, 0x00, 0, 63, 0))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xDB, bytes([0x00]) + qt)
         + seg(0xC4, dht)
+        + dri
         + seg(0xC0, sof)
         + seg(0xDA, sos)
         + entropy
@@ -946,9 +980,11 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
     not hardcoded Annex K), requires SOF0 / precision 8 / one component,
     Huffman-decodes each 8x8 block (DC diff + EXTEND, AC run-length, ZRL,
     EOB), dequantizes, de-zigzags, applies the real 2D IDCT, clamps, and
-    crops edge blocks to the image. Progressive (SOF2), multi-component,
-    and restart-marker streams return None — as does anything malformed
-    (never raises on corpus data)."""
+    crops edge blocks to the image. Restart markers are supported: a DRI
+    interval makes the decoder consume the byte-aligned cyclic RSTm
+    marker and reset the DC predictor every interval (ITU T.81 E.2.4).
+    Progressive (SOF2) and multi-component streams return None — as does
+    anything malformed (never raises on corpus data)."""
     import numpy as np
 
     meta = parse_jpeg(payload)
@@ -958,6 +994,7 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof_marker = comp_q = None
     dc_id = ac_id = None
+    restart_interval = 0
     off = 2
     try:
         while True:
@@ -996,9 +1033,8 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
                     return None
                 sof_marker = marker
                 comp_q = body[8]  # 0:precision 1-2:h 3-4:w 5:Nf 6:id 7:sampling 8:Tq
-            elif marker == 0xDD:  # DRI restart interval — not carried
-                if struct.unpack_from(">H", body, 0)[0] != 0:
-                    return None
+            elif marker == 0xDD:  # DRI restart interval
+                restart_interval = struct.unpack_from(">H", body, 0)[0]
             elif marker == 0xDA:
                 dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
                 off += 2 + seglen
@@ -1016,8 +1052,15 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
         img = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.uint8)
         reader = _JpegBitReader(payload[off : len(payload) - 2])
         prev_dc = 0
+        mcu = 0
+        rst = 0
         for by in range(0, h, 8):
             for bx in range(0, w, 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev_dc = 0
+                mcu += 1
                 t = reader.read_symbol(dc_tab)
                 if t > 11:
                     return None
@@ -1832,7 +1875,10 @@ def synth_jpeg_full_map(
     (``make_jpeg_baseline``) of ``(1 + i % 48) × (1 + i % 24)`` whose
     pixels are constant per 8x8 block, value ``(5*bx + 9*by + i) % 256``
     — DC-only blocks survive DCT + flat-8 quantization bit-exactly, which
-    is what gives the ``multimodal_jpeg`` oracle a closed form."""
+    is what gives the ``multimodal_jpeg`` oracle a closed form. Odd
+    doc_ids carry restart markers every 3 MCUs (DRI + cyclic RSTm) —
+    decoded pixels identical, so the oracle also locks the restart path
+    (a DC-predictor-reset defect shifts the sums)."""
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
@@ -1842,7 +1888,10 @@ def synth_jpeg_full_map(
                 (5 * (x // 8) + 9 * (y // 8) + i) % 256
                 for y in range(h) for x in range(w)
             )
-            payloads.append(make_jpeg_baseline(w, h, px))
+            payloads.append(
+                make_jpeg_baseline(w, h, px,
+                                   restart_interval=3 if i % 2 else 0)
+            )
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].values, "payload": payloads}
         )

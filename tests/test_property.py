@@ -446,6 +446,35 @@ class TestContainerParserProperties:
         assert max(errs) <= 24
         assert sum(errs) / len(errs) <= 4
 
+    @given(
+        w=st.integers(min_value=1, max_value=48),
+        h=st.integers(min_value=1, max_value=24),
+        ri=st.sampled_from([1, 2, 3, 7]),
+        data=st.data(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_restart_markers_roundtrip(self, w, h, ri, data):
+        """DRI/RSTm streams (byte-aligned markers, cyclic m, DC predictor
+        reset) decode to exactly what the marker-free stream decodes to —
+        for DC-only content that means bit-exact."""
+        from tesserocr_spark.multimodal import (
+            decode_jpeg_pixels,
+            make_jpeg_baseline,
+        )
+
+        nbx, nby = -(-w // 8), -(-h // 8)
+        blocks = [
+            [data.draw(st.integers(min_value=0, max_value=255))
+             for _ in range(nbx)]
+            for _ in range(nby)
+        ]
+        px = bytes(
+            blocks[y // 8][x // 8] for y in range(h) for x in range(w)
+        )
+        j = make_jpeg_baseline(w, h, px, restart_interval=ri)
+        assert b"\xff\xdd" in j  # DRI present
+        assert decode_jpeg_pixels(j) == px
+
     def test_jpeg_decoder_against_hand_assembled_stream(self):
         """Ground the decoder against SPEC-derived bits, independent of
         the encoder: one 8x8 block, DC diff +5, hand-coded with the
