@@ -2027,15 +2027,17 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int] | None:
     """Full PCM WAV sample decode (the audio twin of
     ``decode_png_pixels``): finds the ``fmt ``/``data`` chunks via the
     same word-aligned walk as ``parse_wav`` and decodes the sample stream
-    — 8-bit audio is unsigned bytes, 16-bit is signed little-endian
-    (the two public PCM WAV sample layouts). Returns
-    ``(n_samples, amplitude_sum)`` or None for non-PCM / non-8/16-bit /
+    — 8-bit audio is unsigned bytes; 16/24/32-bit are signed
+    little-endian (all four public integer-PCM WAV sample layouts; the
+    24-bit case sign-extends the packed 3-byte frames). Returns
+    ``(n_samples, amplitude_sum)`` or None for non-integer-PCM /
     structurally invalid payloads — never raises on corpus data."""
     import numpy as np
 
     meta = parse_wav(payload)
-    if meta is None or meta["bpp"] not in (8, 16):
+    if meta is None or meta["bpp"] not in (8, 16, 24, 32):
         return None
+    bps = meta["bpp"] // 8
     off = 12
     while off + 8 <= len(payload):
         cid = payload[off : off + 4]
@@ -2044,11 +2046,21 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int] | None:
             if struct.unpack_from("<H", payload, off + 8)[0] != 1:  # PCM only
                 return None
         elif cid == b"data":
-            raw = payload[off + 8 : off + 8 + size]
-            if meta["bpp"] == 8:
+            raw = payload[off + 8 : off + 8 + size - size % bps]
+            if bps == 1:
                 arr = np.frombuffer(raw, dtype=np.uint8)
-            else:
-                arr = np.frombuffer(raw[: size - size % 2], dtype="<i2")
+            elif bps == 2:
+                arr = np.frombuffer(raw, dtype="<i2")
+            elif bps == 4:
+                arr = np.frombuffer(raw, dtype="<i4")
+            else:  # 24-bit: widen each 3-byte frame, then sign-extend
+                b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                arr = (
+                    b3[:, 0].astype(np.int64)
+                    | (b3[:, 1].astype(np.int64) << 8)
+                    | (b3[:, 2].astype(np.int64) << 16)
+                )
+                arr = arr - ((arr >> 23) & 1) * (1 << 24)
             return len(arr), int(arr.sum(dtype=np.int64))
         off += 8 + size + (size & 1)
     return None

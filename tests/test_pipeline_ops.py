@@ -772,6 +772,18 @@ class TestRealContainerParsers:
         n16, sum16 = decode_wav_samples(make_wav(2, 9000, 16, 7))
         raw = bytes((5 * k + 3) % 256 for k in range(28))
         assert (n16, sum16) == (14, sum(struct.unpack("<14h", raw)))
+        # 24-bit: packed 3-byte signed LE frames, sign-extended
+        n24, sum24 = decode_wav_samples(make_wav(1, 8000, 24, 9))
+        raw = bytes((5 * k + 3) % 256 for k in range(27))
+        want24 = 0
+        for i in range(0, 27, 3):
+            v = raw[i] | raw[i + 1] << 8 | raw[i + 2] << 16
+            want24 += v - (1 << 24) if v >= 1 << 23 else v
+        assert (n24, sum24) == (9, want24)
+        # 32-bit signed LE
+        n32, sum32 = decode_wav_samples(make_wav(2, 8000, 32, 5))
+        raw = bytes((5 * k + 3) % 256 for k in range(40))
+        assert (n32, sum32) == (10, sum(struct.unpack("<10i", raw)))
         assert decode_wav_samples(b"not a wav") is None
 
     def test_multimodal_audio_query_matches_ramp_closed_form(self, spark):
