@@ -1129,7 +1129,7 @@ def _tiff_tag_values(payload: bytes, lt: str, entry_off: int):
     if tag not in _TIFF_TAGS:
         return tag, None
     size = _TIFF_TYPE_SIZE.get(ftype)
-    if size is None or ftype not in (3, 4) or count > 1 << 16:
+    if size is None or ftype not in (3, 4) or not 0 < count <= 1 << 16:
         return tag, None
     total = size * count
     voff = entry_off + 8
