@@ -758,6 +758,57 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+_JPEG_ENC_TABLES = None
+
+
+def _jpeg_enc_tables():
+    """Encoder-side canonical Huffman code dicts for the fixed DC/AC
+    tables — built once per process (they are module constants; building
+    them per payload dominated small-image encode)."""
+    global _JPEG_ENC_TABLES
+    if _JPEG_ENC_TABLES is None:
+        _JPEG_ENC_TABLES = (
+            _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+            _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS),
+        )
+    return _JPEG_ENC_TABLES
+
+
+_HUFF_DECODE_CACHE: dict[bytes, dict] = {}
+
+
+def _huff_decode_table(spec: bytes) -> dict:
+    """Decoder-side table for one DHT payload (16 BITS bytes + symbol
+    values) -> {(code, length): symbol}. Cached on the raw table bytes:
+    DHT segments repeat across every file of a corpus, and rebuilding the
+    dict per payload dominated small-image decode. Bounded so a stream of
+    adversarial distinct tables cannot grow worker memory."""
+    tab = _HUFF_DECODE_CACHE.get(spec)
+    if tab is None:
+        if len(_HUFF_DECODE_CACHE) >= 64:
+            _HUFF_DECODE_CACHE.clear()
+        bits, vals = list(spec[:16]), list(spec[16:])
+        tab = {
+            (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+        }
+        _HUFF_DECODE_CACHE[spec] = tab
+    return tab
+
+
+_JPEG_ZZ_FLAT = None
+
+
+def _jpeg_zigzag_flat():
+    """Zigzag order as flat row-major offsets (i -> r*8 + c), so a whole
+    (n, 64) coefficient batch zigzags/de-zigzags with one fancy index."""
+    global _JPEG_ZZ_FLAT
+    if _JPEG_ZZ_FLAT is None:
+        import numpy as np
+
+        _JPEG_ZZ_FLAT = np.array([r * 8 + c for r, c in _JPEG_ZIGZAG])
+    return _JPEG_ZZ_FLAT
+
+
 _DCT_M = None
 
 
@@ -799,6 +850,9 @@ class _JpegBitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)
+        # trim drained high bits so acc stays a machine-word int instead of
+        # accumulating the whole stream as one ever-growing bignum
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -830,6 +884,11 @@ class _JpegBitReader:
             self.nbits += 8
         v = (self.acc >> (self.nbits - width)) & ((1 << width) - 1)
         self.nbits -= width
+        # mask off the consumed high bits: keeps acc bounded (a restart-free
+        # stream otherwise accumulates the whole entropy segment as one
+        # bignum, O(n^2) time/memory) and gives read_symbol its invariant
+        # that acc == 0 whenever nbits == 0
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def restart(self, m: int) -> None:
@@ -846,11 +905,33 @@ class _JpegBitReader:
         self.pos += 2
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        # bit-at-a-time canonical decode with the refill inlined (take(1)
+        # per bit was the decoder's hottest call); error behavior is
+        # identical to take(1): exhaustion/marker raise at the same bit
+        acc, nbits, data, pos = self.acc, self.nbits, self.data, self.pos
+        n = len(data)
         code = 0
+        get = table.get
         for length in range(1, 17):
-            code = (code << 1) | self.take(1)
-            sym = table.get((code, length))
+            if not nbits:
+                if pos >= n:
+                    self.pos = pos
+                    raise ValueError("entropy stream exhausted")
+                b = data[pos]
+                pos += 1
+                if b == 0xFF:
+                    if pos >= n or data[pos] != 0x00:
+                        self.pos = pos
+                        raise ValueError("marker inside entropy stream")
+                    pos += 1
+                acc, nbits = b, 8  # acc was 0 (take/read_symbol mask on exit)
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            sym = get((code, length))
             if sym is not None:
+                self.acc = acc & ((1 << nbits) - 1)
+                self.nbits = nbits
+                self.pos = pos
                 return sym
         raise ValueError("invalid Huffman code")
 
@@ -894,55 +975,55 @@ def make_jpeg_baseline(
     assert len(pixels) == width * height
     M = _dct_matrix()
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    h8, w8 = -(-height // 8) * 8, -(-width // 8) * 8
+    if (h8, w8) != (height, width):  # edge replication padding, whole image
+        img = np.pad(img, ((0, h8 - height), (0, w8 - width)), mode="edge")
+    # every 8x8 block DCT'd/quantized/zigzagged in one batched shot (block
+    # order = raster order of the loop below); bitwise-identical to the
+    # per-block M @ B @ M.T (verified against per-block matmul results)
+    blocks = (
+        img.reshape(h8 // 8, 8, w8 // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+    )
+    coeff = M @ (blocks - 128.0) @ M.T
+    qall = np.rint(coeff / quant).astype(np.int64)
+    zz_rows = qall.reshape(-1, 64)[:, _jpeg_zigzag_flat()].tolist()
+    dc_codes, ac_codes = _jpeg_enc_tables()
     w = _JpegBitWriter()
     prev_dc = 0
-    mcu = 0
     rst = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                if w.nbits:  # byte-align with 1-padding (stuffed if 0xFF)
-                    w.put(0xFF, 8 - w.nbits)
-                w.out += bytes((0xFF, 0xD0 + rst))
-                rst = (rst + 1) & 7
-                prev_dc = 0
-            mcu += 1
-            block = img[by : by + 8, bx : bx + 8]
-            if block.shape != (8, 8):  # edge replication padding
-                block = np.pad(
-                    block,
-                    ((0, 8 - block.shape[0]), (0, 8 - block.shape[1])),
-                    mode="edge",
-                )
-            coeff = M @ (block.astype(np.float64) - 128.0) @ M.T
-            q = np.rint(coeff / quant).astype(np.int64)
-            diff = int(q[0, 0]) - prev_dc
-            prev_dc = int(q[0, 0])
-            t, extra = _dc_magnitude(diff)
-            code, length = dc_codes[t]
-            w.put(code, length)
-            if t:
-                w.put(extra, t)
-            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG[1:]]
+    for mcu, zz in enumerate(zz_rows):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if w.nbits:  # byte-align with 1-padding (stuffed if 0xFF)
+                w.put(0xFF, 8 - w.nbits)
+            w.out += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) & 7
+            prev_dc = 0
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        t, extra = _dc_magnitude(diff)
+        code, length = dc_codes[t]
+        w.put(code, length)
+        if t:
+            w.put(extra, t)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.put(zc, zl)
+                run -= 16
+            t, extra = _dc_magnitude(v)
+            ac, al = ac_codes[(run << 4) | t]
+            w.put(ac, al)
+            w.put(extra, t)
             run = 0
-            for v in zz:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
-                    w.put(zc, zl)
-                    run -= 16
-                t, extra = _dc_magnitude(v)
-                ac, al = ac_codes[(run << 4) | t]
-                w.put(ac, al)
-                w.put(extra, t)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                w.put(ec, el)
+        if run:
+            ec, el = ac_codes[0x00]  # EOB
+            w.put(ec, el)
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1020,13 +1101,10 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
                 p = 0
                 while p < len(body):
                     tc, th = body[p] >> 4, body[p] & 0x0F
-                    bits = list(body[p + 1 : p + 17])
-                    n = sum(bits)
-                    vals = list(body[p + 17 : p + 17 + n])
-                    htables[(tc, th)] = {
-                        (c, ln): sym
-                        for sym, (c, ln) in _huff_codes(bits, vals).items()
-                    }
+                    n = sum(body[p + 1 : p + 17])
+                    htables[(tc, th)] = _huff_decode_table(
+                        bytes(body[p + 1 : p + 17 + n])
+                    )
                     p += 17 + n
             elif marker in _JPEG_SOF:
                 if marker != 0xC0:  # progressive/extended — not carried
@@ -1049,11 +1127,19 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
         qt = qtables[comp_q]
         w, h = meta["width"], meta["height"]
         M = _dct_matrix()
-        img = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.uint8)
+        nby, nbx = -(-h // 8), -(-w // 8)
         reader = _JpegBitReader(payload[off : len(payload) - 2])
+        # A valid stream spends >= 2 bits per block (1-bit DC code + 1-bit
+        # EOB at minimum), so SOF dims the entropy segment cannot possibly
+        # cover are rejected BEFORE any pixel-sized allocation — a ~300-byte
+        # crafted payload used to reserve up to 4 GB from its declared
+        # 65535x65535 frame header.
+        if nby * nbx * 2 > len(reader.data) * 8:
+            return None
         prev_dc = 0
         mcu = 0
         rst = 0
+        zz_rows = []
         for by in range(0, h, 8):
             for bx in range(0, w, 8):
                 if restart_interval and mcu and mcu % restart_interval == 0:
@@ -1083,15 +1169,23 @@ def decode_jpeg_pixels(payload: bytes) -> bytes | None:
                         return None
                     zz[k] = _extend(reader.take(size), size)
                     k += 1
-                coeff = np.zeros((8, 8))
-                for i, (r, c) in enumerate(_JPEG_ZIGZAG):
-                    coeff[r, c] = zz[i] * qt[i]
-                block = M.T @ coeff @ M + 128.0
-                img[by : by + 8, bx : bx + 8] = np.clip(
-                    np.rint(block), 0, 255
-                ).astype(np.uint8)
+                zz_rows.append(zz)
+        # dequantize + de-zigzag + IDCT the whole block batch at once
+        # (bitwise-identical to the per-block M.T @ C @ M path)
+        coeff_flat = np.zeros((nby * nbx, 64))
+        coeff_flat[:, _jpeg_zigzag_flat()] = np.array(
+            zz_rows, dtype=np.int64
+        ) * np.asarray(qt, dtype=np.int64)
+        out = M.T @ coeff_flat.reshape(-1, 8, 8) @ M + 128.0
+        img = (
+            np.clip(np.rint(out), 0, 255)
+            .astype(np.uint8)
+            .reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         return img[:h, :w].tobytes()
-    except (IndexError, ValueError, struct.error):
+    except (IndexError, ValueError, struct.error, MemoryError):
         return None
 
 
@@ -1879,15 +1973,22 @@ def synth_jpeg_full_map(
     doc_ids carry restart markers every 3 MCUs (DRI + cyclic RSTm) —
     decoded pixels identical, so the oracle also locks the restart path
     (a DC-predictor-reset defect shifts the sums)."""
+    import numpy as np
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             i = int(doc_id)
             w, h = 1 + i % 48, 1 + i % 24
-            px = bytes(
-                (5 * (x // 8) + 9 * (y // 8) + i) % 256
-                for y in range(h) for x in range(w)
-            )
+            # (5*(x//8) + 9*(y//8) + i) % 256 rasterized in one outer sum
+            px = (
+                (
+                    (np.arange(h, dtype=np.int64)[:, None] // 8) * 9
+                    + (np.arange(w, dtype=np.int64)[None, :] // 8) * 5
+                    + i
+                )
+                % 256
+            ).astype(np.uint8).tobytes()
             payloads.append(
                 make_jpeg_baseline(w, h, px,
                                    restart_interval=3 if i % 2 else 0)
