@@ -200,28 +200,54 @@ def _png_unfilter(
     """Invert the five PNG scanline filters over ``nrows`` rows of
     ``stride`` bytes each starting at ``raw[start]`` (1 filter byte per
     row); prior row starts as zeros — exactly one pass of an image."""
+    import numpy as np
+
     rows: list[bytes] = []
     prior = bytes(stride)
     for y in range(nrows):
         off = start + y * (1 + stride)
         ftype = raw[off]
+        if ftype == 0:
+            prior = bytes(raw[off + 1 : off + 1 + stride])
+            rows.append(prior)
+            continue
+        if ftype == 1:  # Sub: per-channel cumulative sum mod 256
+            arr = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + 1
+            )
+            prior = (
+                (arr.reshape(-1, ch).astype(np.int64).cumsum(axis=0) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+            rows.append(prior)
+            continue
+        if ftype == 2:  # Up: one vectorized add against the prior row
+            arr = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + 1
+            )
+            prior = (arr + np.frombuffer(prior, dtype=np.uint8)).tobytes()
+            rows.append(prior)
+            continue
         line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
-        elif ftype == 3:  # Average
+        if ftype == 3:  # Average (left-recurrence: stays sequential)
             for i in range(stride):
                 left = line[i - ch] if i >= ch else 0
                 line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
+        elif ftype == 4:  # Paeth (left-recurrence: stays sequential)
             for i in range(stride):
                 left = line[i - ch] if i >= ch else 0
-                ul = prior[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-        elif ftype != 0:
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                p = left + b - c
+                pa = p - left if p >= left else left - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = (
+                    left if pa <= pb and pa <= pc else b if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        else:
             return None
         prior = bytes(line)
         rows.append(prior)
@@ -247,16 +273,33 @@ def decode_png_pixels(payload: bytes) -> bytes | None:
         for ctype, off, length in _png_chunks(payload)
         if ctype == b"IDAT"
     )
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None
     w, h, ch = meta["width"], meta["height"], meta["n_channels"]
+    # expected raw size is known from the header before inflating, so the
+    # inflate is capped at it (a crafted IDAT otherwise expands ~1000x
+    # before the length checks below could reject it) and the Adam7
+    # output buffer is only allocated for a stream that can actually fill
+    # it (a ~300-byte interlaced payload could previously reserve
+    # terabytes from its declared IHDR dims)
     if interlace == 0:
-        stride = w * ch
-        if len(raw) != h * (1 + stride):
+        expected = h * (1 + w * ch)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + pw * ch)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected)
+        if not d.eof:  # either more output pending (reject) or just the
+            raw += d.decompress(d.unconsumed_tail, 1)  # stream trailer
+        if not d.eof or len(raw) != expected:
             return None
-        rows = _png_unfilter(raw, 0, h, stride, ch)
+    except (zlib.error, MemoryError):
+        return None
+    if interlace == 0:
+        rows = _png_unfilter(raw, 0, h, w * ch, ch)
         return None if rows is None else b"".join(rows)
     out = bytearray(w * h * ch)
     pos = 0
@@ -266,20 +309,20 @@ def decode_png_pixels(payload: bytes) -> bytes | None:
         if pw <= 0 or ph <= 0:  # pass empty for small images
             continue
         stride = pw * ch
-        if pos + ph * (1 + stride) > len(raw):
-            return None
         rows = _png_unfilter(raw, pos, ph, stride, ch)
         if rows is None:
             return None
         pos += ph * (1 + stride)
         for j, row in enumerate(rows):
             y = y0 + j * dy
+            if dx == 1:  # pass spans full rows — one contiguous copy
+                base = (y * w + x0) * ch
+                out[base : base + stride] = row
+                continue
             for i in range(pw):
                 x = x0 + i * dx
                 base = (y * w + x) * ch
                 out[base : base + ch] = row[i * ch : (i + 1) * ch]
-    if pos != len(raw):
-        return None
     return bytes(out)
 
 
@@ -552,8 +595,32 @@ def _gif_skip_subblocks(payload: bytes, off: int) -> int | None:
 #: Appendix F); at 4096 entries both sides stop adding until a clear code.
 _LZW_MAX = 1 << 12
 
+#: initial code tables per min_code_size, built once — rebuilding the
+#: literal list / string->code dict per frame (and per CLEAR) dominated
+#: small-frame codec time
+_LZW_LITERALS: dict[int, list[bytes]] = {}
+_LZW_INIT_ENC: dict[int, dict[bytes, int]] = {}
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+
+def _lzw_literals(min_code_size: int) -> list[bytes]:
+    lit = _LZW_LITERALS.get(min_code_size)
+    if lit is None:
+        lit = [bytes([i]) for i in range(1 << min_code_size)]
+        _LZW_LITERALS[min_code_size] = lit
+    return lit
+
+
+def _lzw_init_enc(min_code_size: int) -> dict[bytes, int]:
+    base = _LZW_INIT_ENC.get(min_code_size)
+    if base is None:
+        base = {bytes([i]): i for i in range(1 << min_code_size)}
+        _LZW_INIT_ENC[min_code_size] = base
+    return base
+
+
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_len: int | None = None
+) -> bytes | None:
     """GIF-variant LZW decode (Welch 1984 + the GIF89a packing rules):
     codes are packed LSB-first, the table holds 2^N literals plus CLEAR
     (2^N) and EOI (2^N+1), and the code width grows from N+1 up to 12.
@@ -565,20 +632,24 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
     codes (max ``next_code - 1``) — it bumps one add later, when
     ``next_code == (1 << width) + 1``. Both rules put the first 10-bit
     code at the same stream position. Returns None on any malformed
-    stream rather than raising."""
+    stream rather than raising. With ``max_len`` set, gives up as soon as
+    the output exceeds it — LZW expands up to ~750x, so an unbounded
+    decode of a crafted multi-MB stream could build GB-scale buffers
+    before the caller's length check rejects them."""
     if not 2 <= min_code_size <= 11:  # GIF89a legal range (width caps at 12)
         return None
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-    literals = [bytes([i]) for i in range(clear)]
+    literals = _lzw_literals(min_code_size)
     table = list(literals)
     width = min_code_size + 1
     acc = nbits = 0
     prev: bytes | None = None
     out = bytearray()
     pos = 0
+    n = len(data)
     while True:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 return None  # truncated before EOI
             acc |= data[pos] << nbits
             nbits += 8
@@ -601,6 +672,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
         else:
             return None
         out += entry
+        if max_len is not None and len(out) > max_len:
+            return None  # oversized — the caller's length check would reject
         if prev is not None and next_code < _LZW_MAX:
             table.append(prev + entry[:1])
             if next_code + 1 == 1 << width and width < 12:
@@ -626,7 +699,7 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    table = _lzw_init_enc(min_code_size).copy()
     next_code = eoi + 1
     width = min_code_size + 1
     emit(clear, width)
@@ -644,7 +717,7 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
                 width += 1
         else:  # table full — clear and restart (decoder resets in lockstep)
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = _lzw_init_enc(min_code_size).copy()
             next_code = eoi + 1
             width = min_code_size + 1
         w = data[k : k + 1]
@@ -703,7 +776,7 @@ def decode_gif_pixels(payload: bytes) -> bytes | None:
                     break
                 chunks.append(payload[off : off + n])
                 off += n
-            px = _lzw_decode(b"".join(chunks), min_code)
+            px = _lzw_decode(b"".join(chunks), min_code, max_len=w * h)
             if px is None or len(px) != w * h:
                 return None
             if ipacked & 0x40:  # interlaced: reorder stored rows to display
@@ -1216,24 +1289,46 @@ def _tiff_ifds(payload: bytes, lt: str):
         off = struct.unpack_from(lt + "I", payload, end)[0]
 
 
+#: precompiled entry/pointer structs per byte order — building a format
+#: string and re-parsing it per IFD entry dominated the TIFF tag walk
+_TIFF_ENTRY_S = {"<": struct.Struct("<HHI"), ">": struct.Struct(">HHI")}
+_TIFF_PTR_S = {"<": struct.Struct("<I"), ">": struct.Struct(">I")}
+_TIFF_SHORT_S = {"<": struct.Struct("<H"), ">": struct.Struct(">H")}
+_TIFF_VAL_S: dict[tuple[str, int, str], struct.Struct] = {}
+
+
 def _tiff_tag_values(payload: bytes, lt: str, entry_off: int):
     """Decode one IFD entry -> (tag, [values]) or None; values inline when
     they fit in the 4-byte slot, else at the pointed offset (TIFF 6.0)."""
-    tag, ftype, count = struct.unpack_from(lt + "HHI", payload, entry_off)
+    tag, ftype, count = _TIFF_ENTRY_S[lt].unpack_from(payload, entry_off)
     if tag not in _TIFF_TAGS:
         return tag, None
-    size = _TIFF_TYPE_SIZE.get(ftype)
-    if size is None or ftype not in (3, 4) or not 0 < count <= 1 << 16:
+    if ftype == 3:
+        size, fmt = 2, "H"
+    elif ftype == 4:
+        size, fmt = 4, "I"
+    else:
+        return tag, None
+    if count == 1:  # the overwhelmingly common shape: one inline value
+        s1 = (_TIFF_SHORT_S if ftype == 3 else _TIFF_PTR_S)[lt]
+        return tag, [s1.unpack_from(payload, entry_off + 8)[0]]
+    if not 0 < count <= 1 << 16:
         return tag, None
     total = size * count
     voff = entry_off + 8
     if total > 4:
-        voff = struct.unpack_from(lt + "I", payload, entry_off + 8)[0]
+        voff = _TIFF_PTR_S[lt].unpack_from(payload, entry_off + 8)[0]
         if voff + total > len(payload):
             return tag, None
-    fmt = "H" if ftype == 3 else "I"
+    key = (lt, count, fmt)
+    s = _TIFF_VAL_S.get(key)
+    if s is None:
+        if len(_TIFF_VAL_S) >= 4096:
+            _TIFF_VAL_S.clear()
+        s = struct.Struct(lt + str(count) + fmt)
+        _TIFF_VAL_S[key] = s
     try:
-        return tag, list(struct.unpack_from(lt + str(count) + fmt, payload, voff))
+        return tag, list(s.unpack_from(payload, voff))
     except struct.error:
         return tag, None
 
@@ -1289,31 +1384,59 @@ def parse_tiff(payload: bytes) -> dict | None:
     }
 
 
-def _packbits_decode(data: bytes) -> bytes | None:
+def _packbits_decode(
+    data: bytes, max_len: int | None = None
+) -> bytes | None:
     """Apple PackBits RLE decode (TIFF 6.0 §9, Compression=32773):
     control byte 0..127 → copy n+1 literals, 129..255 (signed -1..-127)
-    → repeat next byte 257-n times, 128 → no-op. None on truncation."""
+    → repeat next byte 257-n times, 128 → no-op. None on truncation.
+    With ``max_len`` set, gives up as soon as the output exceeds it (RLE
+    expands up to 128x per strip; the caller's geometry check would
+    reject the oversized result anyway, so don't build it)."""
     out = bytearray()
     i = 0
-    while i < len(data):
+    n_data = len(data)
+    while i < n_data:
         n = data[i]
         i += 1
         if n < 128:
-            if i + n + 1 > len(data):
+            if i + n + 1 > n_data:
                 return None
             out += data[i : i + n + 1]
             i += n + 1
         elif n > 128:
-            if i >= len(data):
+            if i >= n_data:
                 return None
             out += data[i : i + 1] * (257 - n)
             i += 1
+        if max_len is not None and len(out) > max_len:
+            return None
     return bytes(out)
 
 
 def _packbits_encode(data: bytes) -> bytes:
     """PackBits RLE encode (runs ≥ 3 become repeats, else literals of up
     to 128 bytes) — the exact inverse convention of ``_packbits_decode``."""
+    # literal-only fast path: with no 3 consecutive equal bytes anywhere
+    # the byte-at-a-time scan below degenerates to chunked literals —
+    # emit them directly (the synth gradients never repeat, so this is
+    # the path the corpus actually takes)
+    if len(data) >= 3:
+        import numpy as np
+
+        d = np.frombuffer(data, dtype=np.uint8)
+        has_run = bool(np.any((d[:-2] == d[1:-1]) & (d[1:-1] == d[2:])))
+    else:
+        has_run = any(
+            data[i] == data[i + 1] == data[i + 2]
+            for i in range(len(data) - 2)
+        )
+    if not has_run:
+        out = bytearray()
+        for i in range(0, len(data), 128):
+            chunk = data[i : i + 128]
+            out += bytes([len(chunk) - 1]) + chunk
+        return bytes(out)
     out = bytearray()
     i = 0
     lit_start = i
@@ -1349,6 +1472,15 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
     malformed pages, never an exception."""
     if parse_tiff(payload) is None:
         return None
+    return _decode_tiff_page(payload, page)
+
+
+def _decode_tiff_page(payload: bytes, page: int) -> bytes | None:
+    """Strip walk + decode of one page, assuming ``parse_tiff`` already
+    validated the chain — the per-page worker behind
+    ``decode_tiff_pixels`` (kernels that parse once and then decode every
+    page call this directly instead of re-validating the whole IFD chain
+    per page, which made the stats fan-out quadratic in page count)."""
     lt = "<" if payload[:2] == b"II" else ">"
     for p, (ifd_off, n) in enumerate(_tiff_ifds(payload, lt)):
         if p != page:
@@ -1369,17 +1501,21 @@ def decode_tiff_pixels(payload: bytes, page: int = 0) -> bytes | None:
         counts = tags.get(279)
         if not offs or not counts or len(offs) != len(counts):
             return None
+        total = w * h * spp
         out = bytearray()
         for o, c in zip(offs, counts):
             if o + c > len(payload):
                 return None
             strip = payload[o : o + c]
             if comp == 32773:
-                strip = _packbits_decode(strip)
+                # cap at the bytes still admissible for this page: an
+                # oversized strip can only end in the final length
+                # mismatch below, so reject before building it
+                strip = _packbits_decode(strip, max_len=total - len(out))
                 if strip is None:
                     return None
             out += strip
-        if len(out) != w * h * spp:
+        if len(out) != total:
             return None
         return bytes(out)
     return None
@@ -1398,14 +1534,16 @@ def make_tiff(
     set, multiple strips per page (exercises the strip walk).
     ``compression`` 1 (none) or 32773 (PackBits, applied per strip).
     Page p's raster is the gradient ``(3x + 7y + 13p) % 256``."""
+    import numpy as np
+
     assert compression in (1, 32773)
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_at = 4
+    col = np.arange(width, dtype=np.int64) * 3
+    row = np.arange(height, dtype=np.int64)[:, None] * 7
     for p in range(n_pages):
-        raster = bytes(
-            (3 * x + 7 * y + 13 * p) % 256
-            for y in range(height) for x in range(width)
-        )
+        # (3x + 7y + 13p) % 256 rasterized in one outer sum
+        raster = ((row + col + 13 * p) % 256).astype(np.uint8).tobytes()
         n_strips = -(-height // rows_per_strip)
         strip_offs, strip_counts = [], []
         for s in range(n_strips):
@@ -1607,24 +1745,66 @@ def make_bmp(width: int, height: int, bpp: int = 24, fill: int = 0) -> bytes:
 
 def _png_filter_row(ftype: int, line: bytes, prior: bytes, ch: int) -> bytes:
     """Apply (forward) PNG filter ``ftype`` to a raw scanline — the exact
-    inverse of the reconstruction in ``decode_png_pixels``."""
-    out = bytearray(len(line))
-    for i in range(len(line)):
-        left = line[i - ch] if i >= ch else 0
-        up = prior[i]
-        ul = prior[i - ch] if i >= ch else 0
-        if ftype == 0:
-            pred = 0
-        elif ftype == 1:
-            pred = left
-        elif ftype == 2:
-            pred = up
-        elif ftype == 3:
-            pred = (left + up) // 2
-        else:
-            pred = _paeth(left, up, ul)
-        out[i] = (line[i] - pred) & 0xFF
-    return bytes(out)
+    inverse of the reconstruction in ``decode_png_pixels``. Unlike the
+    reconstruction, the forward direction predicts from RAW neighbors, so
+    every filter (Paeth included) vectorizes with no recurrence."""
+    if ftype == 0:
+        return bytes(line)
+    import numpy as np
+
+    cur = np.frombuffer(line, dtype=np.uint8).astype(np.int16)
+    if ftype == 2:
+        up = np.frombuffer(prior, dtype=np.uint8).astype(np.int16)
+        return ((cur - up) & 0xFF).astype(np.uint8).tobytes()
+    left = np.zeros_like(cur)
+    left[ch:] = cur[:-ch]
+    if ftype == 1:
+        return ((cur - left) & 0xFF).astype(np.uint8).tobytes()
+    up = np.frombuffer(prior, dtype=np.uint8).astype(np.int16)
+    if ftype == 3:
+        return ((cur - (left + up) // 2) & 0xFF).astype(np.uint8).tobytes()
+    ul = np.zeros_like(up)
+    ul[ch:] = up[:-ch]
+    p = left + up - ul  # Paeth: nearest of left/up/up-left, ties a, b, c
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    pred = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    return ((cur - pred) & 0xFF).astype(np.uint8).tobytes()
+
+
+def _png_filter_pass(block, ch: int) -> bytes:
+    """Forward-filter one pass (or whole sequential image) of scanlines
+    with the synth's rotating per-row filter ``row % 5``, vectorized over
+    the entire block at once — per-row numpy on 3-byte interlace rows
+    paid more in call overhead than the filtering cost. ``block`` is a
+    (nrows, stride) uint8 array of RAW scanlines; returns the filtered
+    stream (1 filter-type byte + stride bytes per row), byte-identical to
+    ``_png_filter_row`` applied row by row."""
+    import numpy as np
+
+    nrows, stride = block.shape
+    cur = block.astype(np.int16)
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, ch:] = cur[:, :-ch]
+    ul = np.zeros_like(cur)
+    ul[1:, ch:] = cur[:-1, :-ch]
+    p = left + up - ul  # Paeth: nearest of left/up/up-left, ties a, b, c
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    ftypes = np.arange(nrows) % 5
+    pred = np.zeros_like(cur)
+    for t, arr in ((1, left), (2, up), (3, (left + up) // 2), (4, paeth)):
+        m = ftypes == t
+        pred[m] = arr[m]
+    out = np.empty((nrows, 1 + stride), dtype=np.uint8)
+    out[:, 0] = ftypes
+    out[:, 1:] = ((cur - pred) & 0xFF).astype(np.uint8)
+    return out.tobytes()
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1648,49 +1828,47 @@ def make_png(
     raster is emitted in the Adam7 seven-pass layout (each pass filtered
     independently). Default pixel content (display order) is the
     deterministic gradient ``(3x + 7y + 11c) % 256``."""
+    import numpy as np
+
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
     if pixels is None:
-        pixels = bytes(
-            (3 * x + 7 * y + 11 * c) % 256
-            for y in range(height) for x in range(width) for c in range(ch)
-        )
+        # (3x + 7y + 11c) % 256 rasterized in one outer sum over (y, x, c)
+        pixels = (
+            (
+                np.arange(height, dtype=np.int64)[:, None, None] * 7
+                + np.arange(width, dtype=np.int64)[None, :, None] * 3
+                + np.arange(ch, dtype=np.int64)[None, None, :] * 11
+            )
+            % 256
+        ).astype(np.uint8).tobytes()
     assert len(pixels) == height * stride
     raw = bytearray()
     if interlace:
+        grid = np.frombuffer(pixels, dtype=np.uint8).reshape(
+            height, width, ch
+        )
         for x0, y0, dx, dy in _PNG_ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            prior = bytes(pw * ch)
-            for j in range(ph):
-                y = y0 + j * dy
-                line = b"".join(
-                    pixels[(y * width + x0 + i * dx) * ch :
-                           (y * width + x0 + i * dx) * ch + ch]
-                    for i in range(pw)
-                )
-                ftype = j % 5
-                raw.append(ftype)
-                raw += _png_filter_row(ftype, line, prior, ch)
-                prior = line
+            block = np.ascontiguousarray(
+                grid[y0::dy, x0::dx]
+            ).reshape(ph, pw * ch)
+            raw += _png_filter_pass(block, ch)
     else:
-        prior = bytes(stride)
-        for y in range(height):
-            line = pixels[y * stride : (y + 1) * stride]
-            ftype = y % 5
-            raw.append(ftype)
-            raw += _png_filter_row(ftype, line, prior, ch)
-            prior = line
+        raw += _png_filter_pass(
+            np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride),
+            ch,
+        )
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, color_type, 0, 0,
         1 if interlace else 0,
     )
     body = _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
-        pal = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
-        body += _png_chunk(b"PLTE", pal)
+        body += _png_chunk(b"PLTE", _gif_synth_gct())  # same (i,255-i,i^85)
     body += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
     body += _png_chunk(b"IEND", b"")
     return _PNG_SIG + body
@@ -1765,8 +1943,12 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
     so full sample decode (``decode_wav_samples``) has a closed-form
     oracle — for 8-bit audio sample j IS byte j; for 16-bit LE audio
     sample j is ``int16((10j+3)%256 | ((10j+8)%256) << 8)``."""
+    import numpy as np
+
     n = n_frames * channels * (bits // 8)
-    data = bytes((5 * k + 3) % 256 for k in range(n))
+    data = ((np.arange(n, dtype=np.int64) * 5 + 3) % 256).astype(
+        np.uint8
+    ).tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
         channels * bits // 8, bits,
@@ -1776,6 +1958,21 @@ def make_wav(channels: int, rate: int, bits: int, n_frames: int) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_GIF_SYNTH_GCT = None
+
+
+def _gif_synth_gct() -> bytes:
+    """The synth GIF global color table / PNG palette — the fixed
+    256-entry (i, 255-i, i^0x55) ramp, built once per process instead of
+    per payload."""
+    global _GIF_SYNTH_GCT
+    if _GIF_SYNTH_GCT is None:
+        _GIF_SYNTH_GCT = bytes(
+            v for i in range(256) for v in (i, 255 - i, i ^ 0x55)
+        )
+    return _GIF_SYNTH_GCT
 
 
 def make_gif(
@@ -1794,9 +1991,16 @@ def make_gif(
     flag is set. Default pixel content (display order) is the
     deterministic gradient ``(3x + 7y) % 256``."""
     if pixels is None:
-        pixels = bytes(
-            (3 * x + 7 * y) % 256 for y in range(height) for x in range(width)
-        )
+        import numpy as np
+
+        # (3x + 7y) % 256 rasterized in one outer sum
+        pixels = (
+            (
+                np.arange(height, dtype=np.int64)[:, None] * 7
+                + np.arange(width, dtype=np.int64)[None, :] * 3
+            )
+            % 256
+        ).astype(np.uint8).tobytes()
     assert len(pixels) == width * height
     stored = pixels
     if interlace:
@@ -1805,7 +2009,7 @@ def make_gif(
             for y in _gif_interlaced_row_order(height)
         )
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
-    gct = bytes(v for i in range(256) for v in (i, 255 - i, i ^ 0x55))
+    gct = _gif_synth_gct()
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     idesc = b"\x2c" + struct.pack(
         "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
@@ -1826,11 +2030,18 @@ def make_pnm(width: int, height: int, kind: int = 6) -> bytes:
     255) with a comment line in the header — test/synth helper documenting
     the grammar ``parse_pnm`` reads. Pixel content is the deterministic
     gradient ``(3x + 7y + 11c) % 256`` over the channels."""
+    import numpy as np
+
     ch = 3 if kind == 6 else 1
-    raster = bytes(
-        (3 * x + 7 * y + 11 * c) % 256
-        for y in range(height) for x in range(width) for c in range(ch)
-    )
+    # (3x + 7y + 11c) % 256 rasterized in one outer sum over (y, x, c)
+    raster = (
+        (
+            np.arange(height, dtype=np.int64)[:, None, None] * 7
+            + np.arange(width, dtype=np.int64)[None, :, None] * 3
+            + np.arange(ch, dtype=np.int64)[None, None, :] * 11
+        )
+        % 256
+    ).astype(np.uint8).tobytes()
     header = f"P{kind}\n# synth\n{width} {height}\n255\n".encode()
     return header + raster
 
@@ -1935,6 +2146,8 @@ def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     order-invariant ``pix_sum`` would not. Non-GIF / malformed payloads
     report all-zero rather than failing the scan — same never-dies law as
     ``pixel_stats_map``."""
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -1944,10 +2157,11 @@ def gif_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if meta is None or px is None:
                 rows.append((doc_id, 0, 0, 0, 0, 0, 0))
             else:
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 rows.append((
                     doc_id, meta["width"], meta["height"], meta["n_frames"],
-                    len(px), sum(px),
-                    sum(i * v for i, v in enumerate(px)),
+                    len(px), int(arr.sum()),
+                    int(arr @ np.arange(len(arr), dtype=np.int64)),
                 ))
         yield pd.DataFrame(
             rows,
@@ -2053,6 +2267,8 @@ def tiff_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     each raster byte by its linear index so a PackBits run-length defect
     that preserves totals still mismatches. Non-TIFF / malformed
     payloads emit a single all-zero row (never-dies law)."""
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -2062,14 +2278,15 @@ def tiff_stats_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append((doc_id, 0, 0, 0, 0, 0, 0, 0))
                 continue
             for p in range(meta["n_frames"]):
-                px = decode_tiff_pixels(b, p)
+                px = _decode_tiff_page(b, p)  # meta: chain already valid
                 if px is None:
                     rows.append((doc_id, p, 0, 0, 0, 0, 0, 0))
                 else:
+                    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                     rows.append((
                         doc_id, p, meta["width"], meta["height"],
-                        meta["n_frames"], len(px), sum(px),
-                        sum(i * v for i, v in enumerate(px)),
+                        meta["n_frames"], len(px), int(arr.sum()),
+                        int(arr @ np.arange(len(arr), dtype=np.int64)),
                     ))
         yield pd.DataFrame(
             rows,
