@@ -88,34 +88,53 @@ def test_simhash_signatures_zero_shuffle(spark):
     assert "Exchange" not in _plan(simhash_signatures(spark, SF_DIR))
 
 
-def test_multimodal_decode_chains_kernels_without_shuffle(spark):
+def _assert_codec_plan_shape(plan: str, name: str) -> None:
+    """The codec-query contract: both kernels chain as two MapInPandas in
+    ONE stage over a doc_id-only pruned scan, and the only Exchange the
+    plan may contain is the id fan-out BELOW them — it carries nothing
+    but the 8-byte doc_id, so payload bytes still never cross the wire
+    (shuffle the proxy, not the payload; the fan-out exists because the
+    single-file testdata scan would otherwise run the kernels serially)."""
+    assert plan.count("MapInPandas") == 2, name
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, name
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 1, name
+    if n_exchanges:
+        # the fan-out is a keyless round-robin of the id frame only, and it
+        # sits BELOW both kernels (parents print first in toString): the
+        # scan it repartitions reads nothing but doc_id, so no payload
+        # column ever enters an exchange
+        assert "Exchange RoundRobinPartitioning" in plan, name
+        assert plan.index("MapInPandas") < plan.index("Exchange "), name
+        scan_after_exchange = plan[plan.index("Exchange ") :]
+        assert "FileScan parquet [doc_id#" in scan_after_exchange, name
+
+
+def test_multimodal_decode_chains_kernels_payloads_off_the_wire(spark):
     """synth_payload_map -> decode_map must chain as two MapInPandas in the
-    SAME stage (partition-independent, payloads never cross the wire) over
-    a doc_id-only pruned scan."""
+    SAME stage (partition-independent) over a doc_id-only pruned scan;
+    only the id fan-out may shuffle, never payload bytes."""
     from tesserocr_spark.queries.textops import multimodal_decode
 
-    plan = _plan(multimodal_decode(spark, SF_DIR))
-    assert "Exchange" not in plan
-    assert plan.count("MapInPandas") == 2
-    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    _assert_codec_plan_shape(
+        _plan(multimodal_decode(spark, SF_DIR)), "multimodal_decode"
+    )
 
 
-def test_multimodal_pixels_chains_kernels_without_shuffle(spark):
-    """Full PNG pixel decode: synth -> pixel_stats must also be two chained
-    MapInPandas in one stage over a doc_id-only scan — payload bytes stay
-    on the partition that synthesized them, nothing crosses the wire."""
+def test_multimodal_pixels_chains_kernels_payloads_off_the_wire(spark):
+    """Full PNG pixel decode: synth -> pixel_stats as two chained
+    MapInPandas in one stage — payload bytes stay on the partition that
+    synthesized them."""
     from tesserocr_spark.queries.textops import multimodal_pixels
 
-    plan = _plan(multimodal_pixels(spark, SF_DIR))
-    assert "Exchange" not in plan
-    assert plan.count("MapInPandas") == 2
-    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    _assert_codec_plan_shape(
+        _plan(multimodal_pixels(spark, SF_DIR)), "multimodal_pixels"
+    )
 
 
-def test_multimodal_codec_queries_chain_kernels_without_shuffle(spark):
+def test_multimodal_codec_queries_chain_kernels_payloads_off_the_wire(spark):
     """Every full-decode codec query (GIF LZW, baseline JPEG, multi-page
-    TIFF, PNM) keeps the multimodal_pixels plan shape: two chained
-    MapInPandas in one stage over a doc_id-only scan — payload bytes
+    TIFF, PNM) keeps the multimodal_pixels plan shape — payload bytes
     never cross the wire, even for the TIFF per-page fan-out."""
     from tesserocr_spark.queries.textops import (
         multimodal_gif,
@@ -126,10 +145,7 @@ def test_multimodal_codec_queries_chain_kernels_without_shuffle(spark):
 
     for q in (multimodal_gif, multimodal_jpeg, multimodal_tiff,
               multimodal_pnm):
-        plan = _plan(q(spark, SF_DIR))
-        assert "Exchange" not in plan, q.__name__
-        assert plan.count("MapInPandas") == 2, q.__name__
-        assert "ReadSchema: struct<doc_id:bigint>" in plan, q.__name__
+        _assert_codec_plan_shape(_plan(q(spark, SF_DIR)), q.__name__)
 
 
 def test_minhash_lsh_banded_equi_join_not_allpairs(spark):
