@@ -63,6 +63,23 @@ candidates AS (
 """
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread across cluster parallelism when the source
+    has fewer partitions: the testdata parquet is ONE file, so a query's
+    map-side stage otherwise runs serially in a single scan task. Used
+    ONLY where the per-row map work is heavy enough to pay for the
+    exchange — measured at sf0.1: the substring-dedup window fingerprints
+    gain ~2x, while the cheap minhash/simhash signature builds LOSE ~0.3s
+    to the added exchange + task overhead and keep their zero-exchange
+    single-task scan instead. A no-op at corpus scale where the input
+    already has partitions."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < n:
+        d = d.repartition(n)
+    return d
+
+
 def _candidates_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     copies = (
@@ -1188,7 +1205,7 @@ def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys; 2^32 packed (doc_id, pos) order; round(dup/total, 4) with
     float division on both engines."""
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _docs_spread(spark, sf_dir)
         .select("doc_id", F.trim("text").alias("text"))
     )
     planted = d.select(

@@ -76,7 +76,9 @@ def test_dedup_exact_single_shuffle(spark):
 def test_minhash_signatures_zero_shuffle(spark):
     """Signature computation is pure array expressions — no Exchange at all
     (the old posexplode + per-doc window build paid a sort shuffle that
-    dominated BENCH_r01 and anti-scaled 8→32 cores)."""
+    dominated BENCH_r01 and anti-scaled 8→32 cores). Measured r06: a
+    round-robin input spread does NOT pay for itself here (the signature
+    map work is too cheap), so the plan stays exchange-free."""
     from tesserocr_spark.queries.dedup import minhash_signatures
 
     assert "Exchange" not in _plan(minhash_signatures(spark, SF_DIR))
@@ -86,6 +88,17 @@ def test_simhash_signatures_zero_shuffle(spark):
     from tesserocr_spark.queries.dedup import simhash_signatures
 
     assert "Exchange" not in _plan(simhash_signatures(spark, SF_DIR))
+
+
+def test_substring_dedup_spreads_input_keylessly(spark):
+    """The substring-dedup map stage (md5 fingerprints of every 8-word
+    window) is heavy enough that the single-file testdata scan must be
+    spread round-robin before it — but only keyless: the real shuffles
+    stay the gram aggregate and per-doc regroup."""
+    from tesserocr_spark.queries.dedup import dedup_substrings
+
+    plan = _plan(dedup_substrings(spark, SF_DIR))
+    assert "Exchange RoundRobinPartitioning" in plan
 
 
 def _assert_codec_plan_shape(plan: str, name: str) -> None:
