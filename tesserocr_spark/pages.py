@@ -55,8 +55,13 @@ def pages_from_documents(
     whole extraction would run serially in one task.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # 4x cores: several task waves so one slow task doesn't gate the stage
-    docs = docs.repartition(partitions or spark.sparkContext.defaultParallelism * 4)
+    # 1x cores (one task wave): Python-runner stages pay a serial per-task
+    # launch cost, so finer partitions LOSE outright at this input size —
+    # measured r06 at sf0.1/local[32]: spans_agg 2.14s at 4x cores, 1.23s
+    # at 2x, 0.87s at 1x, 0.97s at cores/2. With thousands of docs per
+    # task the waves are balanced by averaging; pass ``partitions``
+    # explicitly for corpora big enough that straggler smoothing matters.
+    docs = docs.repartition(partitions or spark.sparkContext.defaultParallelism)
     lang_map = F.create_map(*[F.lit(x) for kv in _LANG3.items() for x in kv])
     return docs.select(
         F.concat(
