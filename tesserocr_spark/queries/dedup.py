@@ -679,8 +679,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         edges.selectExpr("greatest(src, dst) AS u", "least(src, dst) AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the count below —
+        # one job instead of an eager checkpoint job plus a count job
     )
+    n_e = E.count()
     converged = False
     for _ in range(max_rounds):
         # large-star: for every node a, m = min(neighborhood ∪ {a});
@@ -706,16 +708,20 @@ def connected_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .unionByName(joined.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by n_s below
         )
-        # fixpoint test: edge set unchanged (counts + one-sided anti-join)
-        if small.count() == E.count() and small.join(
+        # fixpoint test: edge set unchanged (counts + one-sided anti-join);
+        # the previous round's count is carried over instead of re-running
+        # a count job on the checkpointed E every iteration
+        n_s = small.count()
+        if n_s == n_e and small.join(
             E, ["u", "v"], "left_anti"
         ).limit(1).count() == 0:
             E = small
             converged = True
             break
         E = small
+        n_e = n_s
     if not converged:
         # would return partially-contracted edges — fail loudly (ADVICE r01)
         warnings.warn(
