@@ -39,8 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scaling_bench import machine_ceiling  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(REPO, "BENCH", "probe_r05.log")
-GATE_MD = os.path.join(REPO, "BENCH", "BASELINE_r05_gate.md")
+LOG = os.path.join(REPO, "BENCH", "probe_r06.log")
+GATE_MD = os.path.join(REPO, "BENCH", "BASELINE_r06_gate.md")
 LATEST_MD = os.path.join(REPO, "BENCH", "BASELINE_latest.md")
 
 _EFF_RE = re.compile(
